@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 5: canonicalization — connected components over an entity-identity
+ * edge DataFrame via iterative joins (no RDDs, per north_star; the reference
+ * analog is entity dedup by URL-or-name, orchestrator.py:56-61, which merges
+ * records naming the same page).
+ *
+ * Nodes: "n:<lower(name)>" surface nodes, "q:<qid>" Wikidata nodes,
+ * "d:<uri>" DBpedia nodes. Edges: surface—qid from linking, qid—dbpedia from
+ * sameAs bridges. The component representative (lexicographic min node id)
+ * becomes the canonical entity id.
+ *
+ * Algorithm: min-label propagation to fixpoint — each iteration one shuffle
+ * join (labels ⋈ symmetric edges) + one partial-aggregated min groupBy.
+ * Hot hub nodes (e.g. a ubiquitous entity's qid) are handled by map-side
+ * combine of the min() aggregate, so skew cannot concentrate on one reducer
+ * beyond a single (node → min) row per map partition. Lineage is cut with
+ * localCheckpoint every `checkpointEvery` iterations, bounding plan depth for
+ * long chains; iteration count is bounded by graph diameter (tiny for
+ * entity-identity graphs) with a hard cap.
+ */
+object Canonicalize {
+
+  /** Connected components on an undirected edge list.
+   * @param edges DataFrame with string columns (src, dst)
+   * @return DataFrame (id, component) — component = min node id reachable */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      checkpointEvery: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select($"src".as("id")).distinct()
+      .withColumn("component", $"id")
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // propagate: min component among neighbors (and self)
+      val propagated = sym
+        .join(labels, sym("src") === labels("id"))
+        .select($"dst".as("id"), $"component")
+        .unionByName(labels)
+        .groupBy($"id").agg(min($"component").as("newComponent"))
+      val next0 = propagated.withColumnRenamed("newComponent", "component")
+      val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
+        else next0).persist()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter($"n.component" =!= $"o.component").limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Identity edges from the linked-entity table + KB sameAs bridges. */
+  def identityEdges(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val surfaceToQid = linked
+      .filter($"qid".isNotNull)
+      .select(concat(lit("n:"), lower($"entityName")).as("src"),
+        concat(lit("q:"), $"qid").as("dst"))
+      .distinct()
+    val qidToDbp = dbpedia
+      .select(concat(lit("q:"), $"qid").as("src"),
+        concat(lit("d:"), $"resourceUri").as("dst"))
+      .distinct()
+    surfaceToQid.unionByName(qidToDbp)
+  }
+
+  /** Map entityName → canonical component id (falls back to the surface node
+   * id for unlinked entities). Result columns: (entityName, canonicalId). */
+  def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val cc = connectedComponents(identityEdges(linked, dbpedia))
+    linked.select($"entityName").distinct()
+      .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
+      .join(cc, $"nodeId" === cc("id"), "left")
+      .select($"entityName", coalesce($"component", $"nodeId").as("canonicalId"))
+  }
+
+  /** Rewrite triples to canonical ids (two shuffle joins on entity name; the
+   * canonical map is entity-dimension-sized, so both are broadcastable). */
+  def canonicalTriples(triples: Dataset[Triple], canonMap: DataFrame): Dataset[CanonicalTriple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val subjMap = broadcast(canonMap
+      .withColumnRenamed("entityName", "subject")
+      .withColumnRenamed("canonicalId", "subjectId"))
+    val objMap = broadcast(canonMap
+      .withColumnRenamed("entityName", "obj")
+      .withColumnRenamed("canonicalId", "objectId"))
+    triples
+      .join(subjMap, Seq("subject"), "left")
+      .join(objMap, Seq("obj"), "left")
+      .select(
+        coalesce($"subjectId", concat(lit("n:"), lower($"subject"))).as("subjectId"),
+        $"subject", $"predicate",
+        coalesce($"objectId", concat(lit("n:"), lower($"obj"))).as("objectId"),
+        $"obj", $"inferred", $"subjectType", $"objectType", $"docId", $"lang")
+      .as[CanonicalTriple]
+  }
+}

@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/**
+ * Deterministic synthetic source-code corpus (no external data, seed-fixed).
+ *
+ * Stands in for the 10^12-file Iceberg source-code table of BASELINE.json
+ * `input_hint` (columns repo, path, commit, lang, content). Entity surfaces
+ * from [[EntityUniverse]] are planted into comments/doc-strings at known
+ * positions, so the expected mention/link/triple sets are computable from the
+ * plant plan alone — the golden fixtures the pipeline is scored against
+ * (SURVEY.md §5; the reference ships recorded cache blobs instead,
+ * /root/reference/entityextractor/cache/README.md:1-5).
+ *
+ * Generation is fully distributed: each row derives from its id via a
+ * deterministic PRNG, so the same (seed, numFiles, id) always yields the same
+ * row on any executor — which also makes the per-row sha2(content,256)
+ * manifest invariant reproducible at any parallelism.
+ */
+object Corpus {
+
+  val Langs: Seq[String] = Seq("java", "py", "scala", "go", "md")
+
+  /** Fraction of files owned by the single deliberately hot repo (skew). */
+  val HotRepoShare = 0.15
+  val HotRepoName = "org/mega-repo-0000"
+
+  final case class Plant(title: String, qid: String, entityType: String, surface: String)
+
+  final case class FilePlan(
+      id: Long,
+      repo: String,
+      path: String,
+      commit: String,
+      lang: String,
+      plants: Seq[Plant])
+
+  private def rng(seed: Long, id: Long): java.util.Random =
+    new java.util.Random(seed * 1000003L + id * 7919L)
+
+  /** Display form of a lowercase alias, as planted into content. */
+  def display(alias: String): String =
+    alias.split(' ').map(w => if (w.isEmpty) w else w.head.toUpper + w.tail).mkString(" ")
+
+  /** Pure plant plan for file `id` — shared by the generator and the golden
+   * fixture computation in tests. */
+  def plan(seed: Long, numFiles: Long, numRepos: Int, id: Long): FilePlan = {
+    val r = rng(seed, id)
+    val hotFiles = (numFiles * HotRepoShare).toLong
+    val repo =
+      if (id < hotFiles) HotRepoName
+      else f"org/repo-${(id % math.max(1, numRepos)).toInt}%04d"
+    val lang = Langs(r.nextInt(Langs.size))
+    val ext = lang match {
+      case "py" => "py"; case "md" => "md"; case "go" => "go"
+      case "scala" => "scala"; case _ => "java"
+    }
+    val path = f"src/module${r.nextInt(40)}%02d/File$id%06d.$ext"
+    val commit = f"${seed * 31 + id}%040x".takeRight(40)
+
+    // 2..4 distinct regular entities
+    val pool = new scala.util.Random(r).shuffle(EntityUniverse.entities)
+    val k = 2 + r.nextInt(3)
+    var chosen = pool.take(k)
+    // hot/skew entity in ~half of all files
+    if (r.nextDouble() < 0.5) chosen = chosen :+ EntityUniverse.hotEntity
+    // ambiguous surface "mercury" in ~10% of files (links to Mercury Queue by
+    // the deterministic score; exercises window-argmax disambiguation)
+    val withAmbig =
+      if (r.nextDouble() < 0.10 && !chosen.exists(_.qid == "Q9501"))
+        chosen.map(e => Plant(e.title, e.qid, e.entityType, display(e.exactAliases.head))) :+
+          Plant("Mercury Queue", "Q9501", "SOFTWARE", "Mercury")
+      else chosen.map(e => Plant(e.title, e.qid, e.entityType, display(e.exactAliases.head)))
+    FilePlan(id, repo, path, commit, lang, withAmbig)
+  }
+
+  /** Render file content from a plan. All entity surfaces appear inside the
+   * leading doc-comment block; the body filler deliberately avoids every
+   * gazetteer alias token so the plant plan IS the expected mention set. */
+  def render(p: FilePlan): String = {
+    val surf = p.plants.map(_.surface)
+    val sentences = new StringBuilder
+    surf.sliding(2).foreach {
+      case Seq(a, b) => sentences.append(s" * $a interacts with $b in this module.\n")
+      case Seq(a) => sentences.append(s" * $a is configured here.\n")
+      case _ =>
+    }
+    sentences.append(s" * Overview: ${surf.mkString(", ")}.\n")
+    val doc = p.lang match {
+      case "py" =>
+        "\"\"\"\n" + sentences.toString.replace(" * ", "") + "\"\"\"\n"
+      case "md" =>
+        "# Module notes\n\n" + sentences.toString.replace(" * ", "- ") + "\n"
+      case "go" =>
+        sentences.toString.replace(" * ", "// ")
+      case _ =>
+        "/**\n" + sentences.toString + " */\n"
+    }
+    val body = p.lang match {
+      case "py" =>
+        s"""
+           |import os
+           |
+           |def handle_request(ctx, payload):
+           |    window = ctx.open_window(payload)
+           |    return window.finalize()
+           |""".stripMargin
+      case "md" =>
+        "\n## Usage\n\nRun the module pipeline with the standard runner.\n"
+      case "go" =>
+        s"""
+           |package module
+           |
+           |func HandleRequest(ctx Context, payload []byte) error {
+           |\treturn ctx.Dispatch(payload)
+           |}
+           |""".stripMargin
+      case _ =>
+        s"""
+           |package modules;
+           |
+           |public class Handler$$${p.id % 97} {
+           |  private final long windowMillis = ${p.id % 9000L + 1000L};
+           |  public int dispatch(int payloadSize) {
+           |    return payloadSize + (int) (windowMillis % 13);
+           |  }
+           |}
+           |""".stripMargin
+    }
+    s"// commit ${p.commit} path ${p.path}\n" + doc + body
+  }
+
+  /** Distributed corpus generation. */
+  def generate(spark: SparkSession, numFiles: Long, numRepos: Int = 200,
+      seed: Long = 42L, partitions: Int = 32): Dataset[SourceFile] = {
+    import spark.implicits._
+    spark.range(0L, numFiles, 1L, partitions).map { id =>
+      val p = plan(seed, numFiles, numRepos, id)
+      SourceFile(p.repo, p.path, p.commit, p.lang, render(p))
+    }
+  }
+
+  /** Manifest with the per-row integrity hash (input_hint invariant). */
+  def manifest(corpus: Dataset[SourceFile]): Dataset[ManifestRow] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    corpus.select($"repo", $"path", $"commit", sha2($"content", 256).as("sha256"))
+      .as[ManifestRow]
+  }
+
+  // ------------------------------------------------------------------
+  // Golden fixtures (computed from the plan, NOT by running the pipeline)
+  // ------------------------------------------------------------------
+
+  def docId(repo: String, path: String): String = s"$repo:$path"
+
+  /** Expected linked-entity set per file: (docId, title, qid, entityType). */
+  def goldenEntities(seed: Long, numFiles: Long, numRepos: Int): Seq[(String, String, String, String)] =
+    (0L until numFiles).flatMap { id =>
+      val p = plan(seed, numFiles, numRepos, id)
+      p.plants.map(pl => (docId(p.repo, p.path), pl.title, pl.qid, pl.entityType))
+    }.distinct
+
+  /** Expected triple set (distinct over the corpus, explicit > implicit),
+   * mirroring the reference's dedup semantics (orchestrator.py:63-72). */
+  def goldenTriples(seed: Long, numFiles: Long, numRepos: Int): Set[(String, String, String, String)] = {
+    val perDoc = (0L until numFiles).flatMap { id =>
+      val p = plan(seed, numFiles, numRepos, id)
+      docTriples(p.plants)
+    }
+    // explicit wins over implicit on the same (s,p,o) key
+    perDoc.groupBy(t => (t._1, t._2, t._3)).map { case (_, ts) =>
+      ts.find(_._4 == PipelineSchema.InferredExplicit).getOrElse(ts.head)
+    }.toSet
+  }
+
+  /** Golden set after the full dedup chain: exact (explicit>implicit) then
+   * per-undirected-pair consolidation with the SAME total order as
+   * [[Dedup.consolidatePairs]] (fuzzy clustering is a no-op once one triple
+   * per pair remains). Computed from the plan, independently of the pipeline. */
+  def goldenFinalTriples(seed: Long, numFiles: Long, numRepos: Int): Set[(String, String, String, String)] = {
+    goldenTriples(seed, numFiles, numRepos)
+      .groupBy { case (s, _, o, _) => if (s <= o) (s, o) else (o, s) }
+      .map { case (_, ts) =>
+        ts.minBy { case (s, p, o, inf) =>
+          (if (inf == PipelineSchema.InferredExplicit) 0 else 1, p.length, p, s, o)
+        }
+      }.toSet
+  }
+
+  /** Deterministic relation rules for one document's planted entities:
+   * explicit = adjacent co-occurrence pairs by type rule (replacing the
+   * reference's relation LLM call, relationship_inference.py:217-232);
+   * implicit = KB part-of/member-of relations among the doc's entities
+   * (mirroring Wikidata P361/P463 lifting, wikidata_service.py:609-649). */
+  def docTriples(plants: Seq[Plant]): Seq[(String, String, String, String)] = {
+    val dedup = plants.distinct
+    val explicit = dedup.sliding(2).toSeq.flatMap {
+      case Seq(a, b) =>
+        EntityUniverse.cooccurrencePredicate(a.entityType, b.entityType)
+          .map(pred => (a.title, pred, b.title, PipelineSchema.InferredExplicit))
+          .orElse(EntityUniverse.cooccurrencePredicate(b.entityType, a.entityType)
+            .map(pred => (b.title, pred, a.title, PipelineSchema.InferredExplicit)))
+          .toSeq
+      case _ => Nil
+    }
+    val titles = dedup.map(_.title).toSet
+    val implicits = dedup.flatMap { pl =>
+      val spec = EntityUniverse.byTitle(pl.title)
+      spec.partOf.filter(titles).map(t => (pl.title, EntityUniverse.PredPartOf, t, PipelineSchema.InferredImplicit)) ++
+        spec.memberOf.filter(titles).map(t => (pl.title, EntityUniverse.PredMemberOf, t, PipelineSchema.InferredImplicit))
+    }
+    explicit ++ implicits
+  }
+}

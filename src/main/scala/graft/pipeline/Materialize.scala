@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/**
+ * Stage 7: deterministic materialization with per-partition lineage and
+ * stage-granular checkpoint/resume (north_star; the reference's analog is the
+ * sha256-keyed JSON file cache, cache_utils.py:7-51, which lets a rerun skip
+ * completed work).
+ *
+ * Physical layout: output partitioned by `lang` (partition pruning for
+ * per-language consumers) and bucketed by `pmod(hash(repo), buckets)` — the
+ * bucket count is FIXED, independent of shuffle parallelism, so the
+ * per-partition sha256 lineage is identical across cluster sizes (the N vs 4N
+ * scaling comparison depends on this; SURVEY.md §7.4). The hot-repo skew is
+ * defused because one repo hashes to one bucket out of many while every other
+ * bucket still receives a balanced share; within a bucket the writer sorts,
+ * so files are deterministic byte-for-byte modulo parquet metadata.
+ */
+object Materialize {
+
+  val DefaultBuckets = 64
+
+  /** Sort columns defining the canonical order of a triple row. */
+  private val tripleOrder = Seq("subjectId", "predicate", "objectId", "inferred", "docId")
+
+  def withBucket(df: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
+    df.withColumn("repo", substring_index(col("docId"), ":", 1))
+      .withColumn("bucket", pmod(hash(col("repo")), lit(buckets)))
+
+  /** Per-(lang,bucket) lineage rows: row count + sha256 of the sorted row
+   * set. collect_list per bucket is fine at fixture scale; at 10^12 rows the
+   * same contract is kept with a sortWithinPartitions + mapPartitions
+   * streaming digest (one pass, no per-group array). */
+  def lineage(df: DataFrame, stage: String, buckets: Int = DefaultBuckets): DataFrame = {
+    val rowStr = concat_ws("", tripleOrder.map(col): _*)
+    withBucket(df, buckets)
+      .select(col("lang"), col("bucket"), rowStr.as("r"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("rowCount"),
+        sha2(concat_ws("\n", sort_array(collect_list(col("r")))), 256).as("sha256"))
+      .withColumn("stage", lit(stage))
+  }
+
+  def completeMarker(dir: String): java.nio.file.Path = Paths.get(dir, "_GRAFT_COMPLETE")
+
+  def isComplete(dir: String): Boolean = Files.exists(completeMarker(dir))
+
+  /**
+   * Write a stage output + lineage atomically enough for resume: data and
+   * lineage first, the completion marker last. `resume = true` skips the
+   * write when the marker exists (stage-granular restart).
+   */
+  def writeStage(df: DataFrame, stage: String, outDir: String,
+      buckets: Int = DefaultBuckets, resume: Boolean = true): Boolean = {
+    val dir = s"$outDir/$stage"
+    if (resume && isComplete(dir)) return false
+    val bucketed = withBucket(df, buckets)
+      .repartition(col("lang"), col("bucket"))
+      .sortWithinPartitions(tripleOrder.map(col): _*)
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy("lang", "bucket")
+      .parquet(s"$dir/data")
+    lineage(df, stage, buckets)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$dir/lineage")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(completeMarker(dir), java.util.Arrays.asList(stage))
+    true
+  }
+
+  def readStage(spark: SparkSession, stage: String, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/$stage/data")
+}

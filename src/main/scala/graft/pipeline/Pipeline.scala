@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end KG-construction pipeline:
+ * corpus → detect (chunk + trie) → link (broadcast join + window argmax)
+ * → relate (rule joins) → dedup (windows + flatMapGroups)
+ * → canonicalize (iterative-join CC) → [kgc rounds] → materialize.
+ *
+ * Mirrors the reference lifecycle process_entities
+ * (reference: entityextractor/core/orchestrator.py:26-597) re-expressed as a
+ * Catalyst logical plan per stage; see SURVEY.md §3.1 for the stage-by-stage
+ * correspondence.
+ */
+final case class PipelineConfig(
+    chunkSize: Int = Detect.DefaultChunkSize,
+    chunkOverlap: Int = Detect.DefaultOverlap,
+    kgcRounds: Int = 0, // reference default 3, but off unless asked (settings.py:63 gates it behind ENABLE_KGC)
+    runFuzzyDedup: Boolean = true,
+    validateTriples: Boolean = false, // triples are valid by construction; on for untrusted sources
+    buckets: Int = Materialize.DefaultBuckets)
+
+final case class PipelineResult(
+    mentions: Dataset[Mention],
+    linked: Dataset[LinkedEntity],
+    docEntities: DataFrame,
+    triples: Dataset[Triple],
+    canonMap: DataFrame,
+    canonicalTriples: Dataset[CanonicalTriple])
+
+object Pipeline {
+
+  def run(spark: SparkSession, corpus: Dataset[SourceFile],
+      cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
+    val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb())
+    val labels = KB.labels(spark)
+    val wikidata = KB.wikidata(spark)
+    val dbpedia = KB.dbpedia(spark)
+
+    val mentions = Detect.mentions(corpus, gaz, cfg.chunkSize, cfg.chunkOverlap)
+    // persist the stage boundaries: every downstream consumer (relate, CC,
+    // stats, write) would otherwise re-run the whole detect+link chain per action
+    val linked = Link.link(mentions, labels).persist()
+    val docEntities = Link.docEntities(linked).persist()
+    val rawTriples = Relate.triples(docEntities, wikidata)
+    val validated =
+      if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
+    var deduped = Dedup.consolidatePairs(Dedup.exact(validated))
+    if (cfg.runFuzzyDedup) deduped = Dedup.fuzzy(deduped)
+    val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped).persist()
+    val canonMap = Canonicalize.canonicalMap(linked, dbpedia).persist()
+    val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
+    PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
+  }
+
+  /**
+   * Knowledge-Graph-Completion rounds (reference: orchestrator.py:447-468):
+   * each round lifts KB part-of/member-of relations whose SUBJECT is already
+   * a KG entity (the object may be new), keeps only novel (s,p,o) keys via
+   * anti-join, and unions them in. Bounded driver-side loop over DataFrames;
+   * each round's plan is cut with localCheckpoint to keep lineage flat.
+   */
+  def kgc(spark: SparkSession, triples: Dataset[Triple],
+      wikidata: Dataset[KbWikidata], rounds: Int): Dataset[Triple] = {
+    import spark.implicits._
+    val kbRel = wikidata.select($"label".as("kSubject"),
+        explode(concat(
+          transform($"partOf", t => struct(lit(EntityUniverse.PredPartOf).as("pred"), t.as("target"))),
+          transform($"memberOf", t => struct(lit(EntityUniverse.PredMemberOf).as("pred"), t.as("target")))
+        )).as("rel"))
+      .select($"kSubject", $"rel.pred".as("kPred"), $"rel.target".as("kObj"))
+    var current = triples
+    var round = 0
+    var grew = true
+    while (round < rounds && grew) {
+      val known = current.select($"subject".as("name"))
+        .unionByName(current.select($"obj".as("name"))).distinct()
+      val candidates = known
+        .join(broadcast(kbRel), $"name" === $"kSubject", "inner")
+        .select($"kSubject".as("subject"), $"kPred".as("predicate"), $"kObj".as("obj"),
+          lit(PipelineSchema.InferredImplicit).as("inferred"),
+          lit("UNKNOWN").as("subjectType"), lit("UNKNOWN").as("objectType"),
+          lit(PipelineSchema.InferredImplicit).as("subjectInferred"),
+          lit(PipelineSchema.InferredImplicit).as("objectInferred"),
+          lit("kgc").as("docId"), lit("kgc").as("lang"))
+        .as[Triple]
+      val novel = candidates
+        .join(current.select("subject", "predicate", "obj"),
+          Seq("subject", "predicate", "obj"), "left_anti")
+        .as[Triple]
+        .localCheckpoint(true)
+      grew = novel.limit(1).count() > 0
+      if (grew) current = current.unionByName(novel)
+      round += 1
+    }
+    current
+  }
+}

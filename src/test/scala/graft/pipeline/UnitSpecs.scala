@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GazetteerSpec extends AnyFunSuite {
+
+  test("finds patterns at word boundaries, case-insensitive") {
+    val g = Gazetteer.build(Seq("brookfall", "lumina language", "lumina"))
+    val ms = g.findMentions("Brookfall uses the Lumina Language today; brookfalls is not a hit.")
+    assert(ms.map(_.pattern) == Vector("brookfall", "lumina language"))
+    assert(ms.head.start == 0 && ms.head.end == 9)
+  }
+
+  test("longest match wins over nested shorter alias") {
+    val g = Gazetteer.build(Seq("mercury", "mercury queue"))
+    val ms = g.findMentions("Use Mercury Queue here, plain Mercury there.")
+    assert(ms.map(_.pattern) == Vector("mercury queue", "mercury"))
+  }
+
+  test("word-boundary blocks substring/underscore matches") {
+    val g = Gazetteer.build(Seq("buffer", "window"))
+    assert(g.findMentions("open_window rebuffering bufferX").isEmpty)
+    assert(g.findMentions("a buffer!").map(_.pattern) == Vector("buffer"))
+  }
+
+  test("offsets are exact") {
+    val g = Gazetteer.build(Seq("veldt"))
+    val text = "xx Veldt yy veldt"
+    val ms = g.findMentions(text)
+    assert(ms.map(m => (m.start, m.end)) == Vector((3, 8), (12, 17)))
+    assert(ms.forall(m => text.substring(m.start, m.end).equalsIgnoreCase("veldt")))
+  }
+}
+
+class RatcliffObershelpSpec extends AnyFunSuite {
+  // expectations computed from the published definition (difflib.ratio parity)
+  test("identical and empty strings") {
+    assert(RatcliffObershelp.ratio("part of", "part of") == 1.0)
+    assert(RatcliffObershelp.ratio("", "") == 1.0)
+    assert(RatcliffObershelp.ratio("a", "") == 0.0)
+  }
+  test("known values") {
+    // difflib: SequenceMatcher(None, "works on", "works in").ratio() == 0.875
+    assert(math.abs(RatcliffObershelp.ratio("works on", "works in") - 0.875) < 1e-9)
+    // "uses" vs "used": M=3 -> 0.75
+    assert(math.abs(RatcliffObershelp.ratio("uses", "used") - 0.75) < 1e-9)
+    // disjoint
+    assert(RatcliffObershelp.ratio("abc", "xyz") == 0.0)
+  }
+  test("symmetric-ish on our vocabulary") {
+    val r1 = RatcliffObershelp.ratio("member of", "part of")
+    assert(r1 < 0.85) // must NOT merge distinct predicates
+    assert(RatcliffObershelp.ratio("related to", "related too") >= 0.85)
+  }
+}
+
+class ChunkerSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  private def mkCorpus(content: String) =
+    spark.createDataset(Seq(SourceFile("r", "p", "c", "java", content)))
+
+  test("short doc yields one chunk") {
+    val out = Detect.chunks(mkCorpus("x" * 100), size = 200, overlap = 50).collect()
+    assert(out.length == 1)
+    assert(out.head.chunkStart == 0 && out.head.chunkText.length == 100)
+  }
+
+  test("exact-size doc yields one chunk") {
+    val out = Detect.chunks(mkCorpus("x" * 200), size = 200, overlap = 50).collect()
+    assert(out.length == 1)
+  }
+
+  test("overlapping windows cover the doc with step size-overlap") {
+    val n = 500
+    val out = Detect.chunks(mkCorpus("x" * n), size = 200, overlap = 50)
+      .collect().sortBy(_.chunkId)
+    // step 150: starts 0,150,300,450 -> ceil((500-200)/150)+1 = 3; starts 0,150,300
+    assert(out.map(_.chunkStart).toSeq == Seq(0, 150, 300))
+    assert(out.last.chunkStart + out.last.chunkText.length == n)
+    // reassembly covers every position
+    val covered = out.flatMap(c => c.chunkStart until (c.chunkStart + c.chunkText.length)).toSet
+    assert(covered == (0 until n).toSet)
+  }
+
+  test("mention offsets survive chunking and overlap dedup") {
+    // mention at offset 150 falls inside the [140,200) overlap zone of
+    // chunks 0 and 1 (size=200, overlap=60, step=140) -> emitted twice, deduped
+    val pad = "y " * 75 // 150 chars
+    val text = pad + "Brookfall" + (" z" * 100)
+    val gaz = spark.sparkContext.broadcast(Gazetteer.build(Seq("brookfall")))
+    val ms = Detect.mentions(mkCorpus(text), gaz, size = 200, overlap = 60).collect()
+    assert(ms.length == 1)
+    assert(text.substring(ms.head.citationStart, ms.head.citationEnd) == "Brookfall")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  private def t(s: String, p: String, o: String, inf: String, doc: String = "d1") =
+    Triple(s, p, o, inf, "SOFTWARE", "SOFTWARE", "explicit", "explicit", doc, "java")
+
+  test("exact dedup: explicit beats implicit on same key") {
+    val in = spark.createDataset(Seq(
+      t("A", "uses", "B", "implicit"), t("A", "uses", "B", "explicit", "d2")))
+    val out = Dedup.exact(in).collect()
+    assert(out.length == 1 && out.head.inferred == "explicit" && out.head.docId == "d2")
+  }
+
+  test("pair consolidation keeps one per undirected pair, explicit first then shortest") {
+    val in = spark.createDataset(Seq(
+      t("A", "part of", "B", "implicit"),
+      t("B", "uses", "A", "explicit"),
+      t("A", "collaborates with", "B", "explicit")))
+    val out = Dedup.consolidatePairs(in).collect()
+    assert(out.length == 1)
+    assert(out.head.subject == "B" && out.head.predicate == "uses")
+  }
+
+  test("self-pair groups with itself") {
+    val in = spark.createDataset(Seq(
+      t("A", "references", "A", "explicit"), t("A", "refers to", "A", "explicit")))
+    val out = Dedup.consolidatePairs(in).collect()
+    assert(out.length == 1 && out.head.predicate == "refers to") // shorter wins
+  }
+
+  test("fuzzy merges near-identical predicates, keeps shortest") {
+    val in = spark.createDataset(Seq(
+      t("A", "related to", "B", "explicit"),
+      t("A", "related too", "B", "explicit"),
+      t("A", "member of", "B", "explicit")))
+    val out = Dedup.fuzzy(in).collect()
+    assert(out.map(_.predicate).sorted.toSeq == Seq("member of", "related to"))
+  }
+
+  test("dedup chain is idempotent") {
+    val in = spark.createDataset(Seq(
+      t("A", "uses", "B", "explicit"), t("B", "uses", "A", "explicit"),
+      t("A", "part of", "B", "implicit"), t("C", "uses", "C", "explicit")))
+    val once = Dedup.all(in).collect().toSet
+    val twice = Dedup.all(Dedup.all(in)).collect().toSet
+    assert(once == twice)
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  private def cc(edges: (String, String)*): Map[String, String] =
+    Canonicalize.connectedComponents(edges.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("chain collapses to min id") {
+    val m = cc("b" -> "c", "a" -> "b", "c" -> "d")
+    assert(Set("a", "b", "c", "d").map(m) == Set("a"))
+  }
+
+  test("two components stay separate") {
+    val m = cc("a" -> "b", "x" -> "y")
+    assert(m("a") == "a" && m("b") == "a" && m("x") == "x" && m("y") == "x")
+  }
+
+  test("cycle and star converge") {
+    val m = cc("a" -> "b", "b" -> "c", "c" -> "a", "hub" -> "s1", "hub" -> "s2", "hub" -> "s3")
+    assert(m("c") == "a" && m("s3") == "hub" && m("s1") == "hub")
+  }
+
+  test("permutation invariance") {
+    val e = Seq("a" -> "b", "b" -> "c", "d" -> "c")
+    assert(cc(e: _*) == cc(e.reverse: _*))
+  }
+}
+
+/** Local alias so specs share the single session. */
+object SparkHolder {
+  val spark = graft.SparkTestBase.spark
+}
