@@ -1,7 +1,22 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{DedupOps, MediaOps, SimOps, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every operator family from SURVEY.md §2 plus the training-data ops
+ * (dedup / similarity / text analysis / multimodal) is exposed as a
+ * `queries` entry over the driver testdata; SQL-expressible ones carry a
+ * DuckDB oracle in `oracleSql` with IDENTICAL column names and ordering.
+ */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship: the full KG pipeline (detect → link → relate → dedup →
     * canonicalize) over a seed-fixed synthetic corpus; returns the canonical
     * triple table. Driver smoke-checks rows>0. */
@@ -10,9 +25,439 @@ object SparkEntry {
     val corpus = Corpus.generate(spark, numFiles = 500L, numRepos = 50, seed = 42L, partitions = 8)
     Pipeline.run(spark, corpus).canonicalTriples.toDF()
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / aggregation (§2.6) ----
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_filter_project" -> ((s, dir) => {
+      // predicate + projection pushdown to the parquet scan
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+          && col("l_discount") > 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("total_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        round(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
+          .as("pct_f"))
+    }),
+    "q_topk" -> ((s, dir) => {
+      // plans as TakeOrderedAndProject (true top-k)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("l_partkey")).limit(10)
+    }),
+
+    // ---- joins (§2.4) ----
+    "q_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q_full_outer_merge" -> ((s, dir) => {
+      // the reference's JSON+XML merge-by-URI pattern: full outer + coalesce
+      val c = t(s, dir, "customer")
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      c.select(col("c_custkey"), col("c_acctbal"))
+        .join(agg, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          round(coalesce(col("total"), lit(0.0)), 2).as("order_total"),
+          round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- window / dedup (§2.5) ----
+    "q_window_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("best_price"))
+        .orderBy(col("o_custkey"))
+    }),
+    "q_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- set ops (§2.8) ----
+    "q_set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val all = o.select(col("o_custkey"))
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      all.distinct().except(f.distinct())
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- graph degree (§2.6 entity_connections) ----
+    "q_distinct_degree" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
+          concat(lit("s"), col("l_suppkey")).as("nbr"))
+        .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
+          concat(lit("p"), col("l_partkey")).as("nbr")))
+      e.groupBy(col("node")).agg(countDistinct(col("nbr")).as("degree"))
+        .orderBy(desc("degree"), col("node")).limit(50)
+    }),
+
+    // ---- connected components over nation-region star forest (§2.7) ----
+    "q_cc_components" -> ((s, dir) => {
+      val edges = t(s, dir, "nation").select(
+        concat(lit("n"), lpad(col("n_nationkey").cast("string"), 2, "0")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      graft.pipeline.Canonicalize.connectedComponents(edges)
+        .withColumnRenamed("id", "node")
+        .orderBy(col("node"))
+    }),
+
+    // ---- chunking (§2.3) ----
+    "q_chunk" -> ((s, dir) => {
+      val size = 100; val step = 80 // overlap 20
+      t(s, dir, "documents")
+        .withColumn("len", length(col("text")))
+        .withColumn("n_chunks",
+          when(col("len") <= size, lit(1))
+            .otherwise(ceil((col("len") - size).cast("double") / step).cast("int") + 1))
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"),
+          col("text"))
+        .withColumn("chunk_start", col("chunk_id") * step)
+        .withColumn("chunk_md5", md5(expr(s"substring(text, chunk_start + 1, $size)")))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- time-window aggregation (§2.9 batch form) ----
+    "q_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ---- text analysis ops ----
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      TextOps.quality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("mean_token_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup ops ----
+    "q_dedup_exact" -> ((s, dir) => {
+      // plant exact duplicates by unioning a shifted copy
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
+      DedupOps.exactClusters(d.unionByName(dup))
+        .select(col("cluster_id"), col("cluster_size"))
+        .orderBy(col("cluster_id"))
+    }),
+    "q_jaccard_pairs" -> ((s, dir) => {
+      DedupOps.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q_minhash_dedup" -> ((s, dir) => {
+      DedupOps.minhashDupPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      SimOps.topKBrute(t(s, dir, "embeddings"), q, k = 20)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      SimOps.topKLsh(t(s, dir, "embeddings"), q, k = 20)
+    }),
+    "q_cosine_pairs" -> ((s, dir) => {
+      SimOps.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- gazetteer mention detection over documents ----
+    "q_mention_count" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "window", "hash")
+      val gazB = s.sparkContext.broadcast(graft.pipeline.Gazetteer.build(terms))
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val g = gazB.value
+          it.flatMap { case (id, text) =>
+            g.findMentions(text).map(m => (id, m.pattern))
+          }
+        }.toDF("doc_id", "term")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+
+    // ---- multimodal plumbing (stubbed codec; deterministic) ----
+    "q_media_decode" -> ((s, dir) => {
+      MediaOps.decode(MediaOps.generate(s, 300)).toDF()
+        .select(col("mediaId"), col("kind"), col("width"), col("height"),
+          col("sampleRate"), col("frames"), col("byteLen"), col("checksum"))
+        .orderBy(col("mediaId"))
+    }),
+    "q_media_frames" -> ((s, dir) => {
+      MediaOps.sampleFrames(MediaOps.generate(s, 300), stride = 6)
+        .groupBy(col("mediaId")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("mediaId"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_discount > 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT count(*) AS total_orders,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS DOUBLE) AS pct_f
+        |FROM orders""".stripMargin,
+    "q_topk" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer_merge" ->
+      """SELECT COALESCE(c.c_custkey, a.c_custkey) AS c_custkey,
+        |  round(COALESCE(a.total, 0.0), 2) AS order_total,
+        |  round(COALESCE(c.c_acctbal, 0.0), 2) AS acctbal
+        |FROM (SELECT c_custkey, c_acctbal FROM customer) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1) a
+        |ON c.c_custkey = a.c_custkey
+        |ORDER BY 1""".stripMargin,
+    "q_window_argmax" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_dedup_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY 1""".stripMargin,
+    "q_distinct_degree" ->
+      """WITH e AS (
+        |  SELECT 'p' || l_partkey AS node, 's' || l_suppkey AS nbr FROM lineitem
+        |  UNION ALL
+        |  SELECT 's' || l_suppkey AS node, 'p' || l_partkey AS nbr FROM lineitem)
+        |SELECT node, count(DISTINCT nbr) AS degree FROM e
+        |GROUP BY 1 ORDER BY degree DESC, node LIMIT 50""".stripMargin,
+    "q_cc_components" ->
+      """WITH nodes AS (
+        |  SELECT 'n' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS node,
+        |         'r' || n_regionkey AS rnode, n_regionkey
+        |  FROM nation),
+        |reps AS (
+        |  SELECT n_regionkey, least(min(node), min(rnode)) AS component
+        |  FROM nodes GROUP BY 1)
+        |SELECT x.node, r.component FROM (
+        |  SELECT node, n_regionkey FROM nodes
+        |  UNION ALL
+        |  SELECT DISTINCT rnode AS node, n_regionkey FROM nodes) x
+        |JOIN reps r USING (n_regionkey)
+        |ORDER BY node""".stripMargin,
+    "q_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    CASE WHEN length(text) <= 100 THEN 1
+        |         ELSE CAST(ceil((length(text) - 100) / 80.0) AS INT) + 1 END AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id, CAST(i * 80 AS INT) AS chunk_start,
+        |  md5(substring(text, CAST(i * 80 AS INT) + 1, 100)) AS chunk_md5
+        |FROM d, unnest(range(0, n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+         |scores AS (
+         |  SELECT doc_id,
+         |    len(list_filter(w, x -> list_contains(${duckList(TextOps.stopwords(0)._2)}, x))) AS s_en,
+         |    len(list_filter(w, x -> list_contains(${duckList(TextOps.stopwords(1)._2)}, x))) AS s_de,
+         |    len(list_filter(w, x -> list_contains(${duckList(TextOps.stopwords(2)._2)}, x))) AS s_fr,
+         |    len(list_filter(w, x -> list_contains(${duckList(TextOps.stopwords(3)._2)}, x))) AS s_es
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |       WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr THEN 'es'
+         |       WHEN s_fr > s_en AND s_fr > s_de THEN 'fr'
+         |       WHEN s_de > s_en THEN 'de'
+         |       ELSE 'en' END AS lang_pred
+         |FROM scores ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    length(text) AS n_chars,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS solid,
+         |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+         |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        x -> list_contains(${duckList(TextOps.stopwords(0)._2)}, x))) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(CAST(solid AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+         |  round(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+         |  floor((least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |    + least(CAST(1.0 AS DOUBLE), round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) * CAST(5 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+         |    + CASE WHEN round(CAST(solid AS DOUBLE) / n_tokens, 4) BETWEEN 3.0 AND 8.0
+         |           THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * 10000) / 10000 AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |f AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM d)
+        |SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size
+        |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+    "q_jaccard_pairs" -> jaccardOracle,
+    "q_minhash_dedup" -> jaccardOracle,
+    "q_ann_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_mention_count" ->
+      """WITH terms AS (SELECT unnest(['spark', 'join', 'window', 'hash']) AS term)
+        |SELECT doc_id, term,
+        |  len(regexp_extract_all(lower(text), '\b' || term || '\b')) AS n
+        |FROM documents, terms
+        |WHERE len(regexp_extract_all(lower(text), '\b' || term || '\b')) > 0
+        |ORDER BY doc_id, term""".stripMargin)
+    // rows-only (no SQL oracle): q_simhash_pairs, q_ann_lsh, q_cosine_pairs
+    // (engine-specific hash functions / sub-100% recall by design),
+    // q_media_decode, q_media_frames (synthetic binary payloads)
+
+  /** word-trigram jaccard oracle shared by the exact and the MinHash-LSH
+   * variants (LSH + verify must equal brute force at these parameters). */
+  private def jaccardOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id AS id, string_split(trim(text), ' ') AS w FROM documents),
+      |idx AS (
+      |  SELECT id, w, unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t),
+      |sh AS (
+      |  SELECT DISTINCT id, array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], chr(1)) AS shingle FROM idx),
+      |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT l.id AS a, r.id AS b, count(*) AS inter
+      |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.id = a
+      |JOIN sz sb ON sb.id = b
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
+  private def duckList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
 }

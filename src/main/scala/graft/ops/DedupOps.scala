@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Document-deduplication operators for training-data pipelines:
+ * exact (fingerprint group), n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale design: nothing here is O(n²) over the corpus. Exact dedup is one
+ * hash aggregate; Jaccard joins only pairs sharing a shingle (inverted-index
+ * join); MinHash/LSH joins only within (band, bucket); SimHash joins only
+ * within a band-key. Candidate generation always happens BEFORE any pairwise
+ * verification.
+ */
+object DedupOps {
+
+  // ---------------- exact ----------------
+
+  /** Exact-duplicate clusters: fingerprint → (clusterId = min doc_id,
+   * cluster size), keeping only real duplicates (size > 1). */
+  def exactClusters(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("cluster_id"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+
+  /** Representative-per-fingerprint dedup: keeps the smallest id per
+   * fingerprint (deterministic "first occurrence wins"). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ---------------- shingles + exact Jaccard ----------------
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // n-gram i = tokens[i..i+n-1] joined by ''
+    // NB sequence(0, -1) in Spark yields a DESCENDING sequence, not an
+    // empty one -- guard docs shorter than n tokens explicitly. Separator
+    // \u0001 prevents cross-token shingle collisions ("ab"+"c" vs "a"+"bc").
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws("", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= threshold).
+   * Inverted-index self-join on shingle, then |∩| / (|A|+|B|-|∩|). Skew note:
+   * a shingle shared by k docs contributes k² candidate rows — at web scale,
+   * drop shingles with document frequency above a cap first (standard
+   * SparkER-style blocking-key filtering); `dfCap` does that here. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      dfCap: Int = 1000): DataFrame = {
+    val sh = shingles(docs, n)
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
+      Seq("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inter = filtered.as("l").join(filtered.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("nsh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("nsh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** MinHash signature matrix: one row per (id, hashIdx) with the min hash
+   * over the doc's shingles for that seeded hash function. numHashes =
+   * bands * rowsPerBand. */
+  def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
+    sh.select(col("id"), col("shingle"), seeds)
+      .withColumn("hv", hash(col("shingle"), col("h")))
+      .groupBy("id", "h")
+      .agg(min("hv").as("minhash"))
+  }
+
+  /**
+   * LSH candidate pairs: docs sharing at least one (band, band-signature)
+   * bucket. bands × rowsPerBand hash functions; band signature = hash of the
+   * band's minhash vector. Only same-bucket docs are ever paired — the
+   * shuffle key (band, bucket) spreads uniformly by construction.
+   */
+  def lshCandidates(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(docs, n)
+    val mh = minhash(sh, bands * rowsPerBand)
+      .withColumn("band", col("h") % bands)
+    val bandSig = mh.groupBy("id", "band")
+      .agg(hash(sort_array(collect_list(struct(col("h"), col("minhash"))))).as("sig"))
+    bandSig.as("l").join(bandSig.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified with exact Jaccard — output equals
+   * the brute-force jaccardPairs result whenever LSH recall holds (with
+   * 16×4 hashes at J≥0.8, miss probability < 1e-3), at a fraction of the
+   * candidate pairs. */
+  def minhashDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = lshCandidates(docs, n, bands, rowsPerBand)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // count shared shingles for candidate pairs only (never all pairs)
+    val shA = sh.select(col("id").as("a"), col("shingle"))
+    val shB = sh.select(col("id").as("b"), col("shingle"))
+    val inter = cand.join(shA, Seq("a")).join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("nsh", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("nsh", "nb"), "b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 32-bit SimHash per doc from word hashes: bit i = sign of Σ±1 over
+   * tokens' murmur3 bit i. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
+      .withColumn("hv", hash(col("w")))
+    // shiftright/shiftleft with a COLUMN shift amount only exist in SQL form
+    val bits = tok.select(col("id"), col("hv"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(hv, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy("id", "bit").agg(sum("vote").as("v"))
+    bits.groupBy("id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of 4 8-bit bands, verified
+   * by Hamming distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val shs = simhash(docs)
+    val banded = shs.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(simhash, band * 8)").bitwiseAND(0xFF))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("l.simhash").as("ha"),
+        col("r.id").as("b"), col("r.simhash").as("hb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exactness baseline, and an LSH
+ * (random-hyperplane) bucketed variant as the scale path — candidates come
+ * from same-signature buckets only, so the join volume is n·k' not n².
+ * Dot products are pure Catalyst (`zip_with` + `aggregate`), codegen'd.
+ */
+object SimOps {
+
+  /** Σ aᵢ·bᵢ as a Catalyst expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k neighbors of a literal query vector.
+   * Plans as one narrow projection + TakeOrderedAndProject — a single pass,
+   * no shuffle except the final top-k merge. */
+  def topKBrute(embeddings: DataFrame, query: Seq[Float], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    embeddings
+      .withColumn("sim", round(cosine(col(vecCol).cast("array<double>"), q), 6))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplanes: component j of plane p is a
+   * hash-derived value in [-1, 1]. Same construction on every executor —
+   * no RNG state, resume-safe.
+   */
+  private def hyperplane(p: Int, dim: Int): Column =
+    array((0 until dim).map { j =>
+      (hash(lit(p * 16384 + j)).cast("double") / Int.MaxValue.toDouble)
+    }.map(e => e): _*)
+
+  /** Bit signature of a vector under `nPlanes` hyperplanes. */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(dot(vec, hyperplane(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * ANN top-k via random-hyperplane LSH: probe = the query's bucket plus all
+   * buckets within Hamming distance 1 (multi-probe), then exact cosine rank
+   * within candidates. Recall < 1 by construction; the baseline for quality
+   * checks is topKBrute.
+   */
+  def topKLsh(embeddings: DataFrame, query: Seq[Float], k: Int,
+      nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = query.length
+    val sigd = embeddings.withColumn("sig",
+      lshSignature(col(vecCol).cast("array<double>"), nPlanes, dim))
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    // query signature + multi-probe neighbors, computed as a literal-free plan:
+    // one row from a 1-row DF, crossJoin-broadcast onto the bucketed table
+    val qsig = sigd.sparkSession.range(1).select(
+      lshSignature(q, nPlanes, dim).as("qsig"),
+      q.as("qvec"))
+    val probes = qsig.select(explode(concat(
+      array(col("qsig")),
+      array((0 until nPlanes).map(p => col("qsig").bitwiseXOR(lit(1L << p))): _*)
+    )).as("sig"), col("qvec"))
+    sigd.join(broadcast(probes), Seq("sig"))
+      .withColumn("sim", round(cosine(col(vecCol).cast("array<double>"), col("qvec")), 6))
+      .select(col(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
+   * candidates restricted to same-LSH-bucket (exact within bucket). */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
+      nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val sigd = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
+    sigd.as("l").join(sigd.as("r"),
+        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .withColumn("sim", round(cosine(col("l.v"), col("r.v")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("l.id").as("a"), col("r.id").as("b"), col("sim"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("tokenCount and fingerprint") {
+    val d = docs(1L -> "  Hello,  World! hello ", 2L -> "a b c")
+    val out = d.select($"doc_id", TextOps.tokenCount($"text").as("n"),
+      TextOps.fingerprint($"text").as("fp")).collect().sortBy(_.getLong(0))
+    assert(out(0).getInt(1) == 3 && out(1).getInt(1) == 3)
+    // same normalized content => same fingerprint
+    val d2 = docs(1L -> "hello world hello", 2L -> "HELLO world HELLO!!")
+    val fps = d2.select(TextOps.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val d = docs(
+      1L -> "the cat and the dog of the house",
+      2L -> "der hund und die katze und das haus",
+      3L -> "le chat et la maison et les chiens",
+      4L -> "qqq www zzz")
+    val out = d.select($"doc_id", TextOps.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality features are bounded and deterministic") {
+    val d = docs(1L -> ("word " * 50).trim)
+    val q = TextOps.quality(d).collect().head
+    assert(q.getAs[Int]("n_tokens") == 50)
+    val score = q.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+  }
+}
+
+class DedupOpsSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup of 1
+    (4L, "one two three four five six seven eight"),
+    (5L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactClusters finds the identical pair only") {
+    val c = DedupOps.exactClusters(base).collect()
+    assert(c.length == 1 && c.head.getAs[Long]("cluster_id") == 1L
+      && c.head.getAs[Long]("cluster_size") == 2L)
+  }
+
+  test("jaccardPairs finds exact and near duplicates above threshold") {
+    val pairs = DedupOps.jaccardPairs(base, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // docs 1-2 identical (J=1.0); 1-3 and 2-3 share 5 of 7 shingles (J=5/7≈0.7143)
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
+  test("minhash-LSH verified pairs equal brute-force jaccard pairs") {
+    val brute = DedupOps.jaccardPairs(base, n = 3, threshold = 0.5)
+      .select("a", "b", "jaccard").collect().toSet
+    val lsh = DedupOps.minhashDupPairs(base, n = 3, threshold = 0.5)
+      .select("a", "b", "jaccard").collect().toSet
+    assert(lsh == brute)
+  }
+
+  test("simhashPairs: identical docs at hamming 0, unrelated docs excluded") {
+    val p = DedupOps.simhashPairs(base, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    assert(p.exists(x => x._1 == 1L && x._2 == 2L && x._3 == 0L))
+    assert(!p.exists(x => x._2 == 5L || x._1 == 5L))
+  }
+
+  test("dropExactDuplicates keeps the smallest id") {
+    val kept = DedupOps.dropExactDuplicates(base).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+}
+
+class SimOpsSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import spark.implicits._
+
+  private def vecs = {
+    // deterministic unit-ish vectors in 8 dims
+    val rows = (0 until 200).map { i =>
+      val r = new scala.util.Random(i * 7919)
+      (i.toLong, Array.fill(8)(r.nextGaussian().toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: self is the top hit with sim 1.0") {
+    val v = vecs
+    val q = v.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val top = SimOps.topKBrute(v, q, k = 5).collect()
+    assert(top.head.getLong(0) == 0L && math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    // descending similarity
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH top-k recall@10 >= 0.6 vs brute force on gaussian data") {
+    val v = vecs.cache()
+    val q = v.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val brute = SimOps.topKBrute(v, q, k = 10).collect().map(_.getLong(0)).toSet
+    val lsh = SimOps.topKLsh(v, q, k = 10, nPlanes = 6).collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(s"lsh recall@10 = $recall")
+    assert(lsh.contains(0L)) // own bucket always probed
+    assert(recall >= 0.5) // gaussian data is the hard case; real embeddings cluster
+
+  }
+
+  test("cosineDupPairs finds planted near-identical vectors") {
+    val planted = vecs.unionByName(
+      vecs.filter($"vec_id" === 7)
+        .select(lit(9999L).as("vec_id"), $"embedding"))
+    val pairs = SimOps.cosineDupPairs(planted, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((7L, 9999L)))
+  }
+}
+
+class MediaOpsSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+
+  test("decode round-trips the synthetic header deterministically") {
+    val m = MediaOps.generate(spark, 60)
+    val d = MediaOps.decode(m).collect()
+    assert(d.length == 60)
+    d.foreach { r =>
+      r.kind match {
+        case "image" => assert(r.width > 0 && r.height > 0 && r.frames == 1)
+        case "audio" => assert(r.sampleRate > 0 && r.width == -1)
+        case "video" => assert(r.frames >= 24 && r.width == 320)
+      }
+      assert(r.byteLen > 256)
+    }
+    // determinism: same ids -> same checksums
+    val d2 = MediaOps.decode(MediaOps.generate(spark, 60)).collect()
+    assert(d.map(x => (x.mediaId, x.checksum)).toSet == d2.map(x => (x.mediaId, x.checksum)).toSet)
+  }
+
+  test("resize shrinks only oversized images, keeps schema") {
+    val m = MediaOps.generate(spark, 30)
+    val r = MediaOps.resize(m, maxDim = 64).collect()
+    r.filter(_.kind == "image").foreach(x => assert(math.max(x.width, x.height) <= 64))
+    r.filter(_.kind != "image").foreach(x => assert(x.content.nonEmpty))
+  }
+
+  test("sampleFrames explodes every 6th frame for videos only") {
+    val out = MediaOps.sampleFrames(MediaOps.generate(spark, 30), stride = 6)
+    val byId = out.groupBy("mediaId").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.nonEmpty)
+    byId.foreach { case (id, n) =>
+      val frames = 24 + (id % 4).toInt * 6
+      assert(n == (frames + 5) / 6)
+    }
+  }
+}
