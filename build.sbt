@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32m G1 regions: Spark task-memory pages are multi-MB long[] allocations
+  // that G1's default (heap/2048) region size classifies as humongous,
+  // causing continuous concurrent GC under 32-thread local runs
+  "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",
 )

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Cluster-size scaling evidence (north_rule): the same KG pipeline job on the
+ * same input at two parallelism levels — local[N] and local[4N] cores — with
+ * throughput at both and the scaling efficiency (T_N / T_4N) / 4.
+ *
+ * A real cluster is not available in this sandbox; per BASELINE.md the N vs
+ * 4N executor comparison is evidenced as N vs 4N local cores. Sessions are
+ * created and fully stopped sequentially in one JVM; a warm-up run at the
+ * small level absorbs JIT/codegen costs so both measured runs are warm.
+ *
+ * Usage: runMain graft.ScaleBench [nFiles] [N]
+ */
+object ScaleBench {
+
+  def timedRun(cores: Int, nFiles: Long, warmup: Boolean): (Double, Long, Long) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scale-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // local-scale knobs (cluster defaults are right at real data sizes):
+      // our rows are small but CPU-heavy, so 64MB-target AQE coalescing and
+      // 128MB scan splits would leave most cores idle
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // task-memory pages default to 64MB long[] — humongous for G1 regions,
+      // measured as continuous concurrent GC + fragmentation across reps
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      if (warmup) Bench.runPipelineBench(spark, math.max(500L, nFiles / 20))
+      Bench.runPipelineBench(spark, nFiles)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = args.headOption.map(_.toLong).getOrElse(20000L)
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val (tN, docsN, triplesN) = timedRun(n, nFiles, warmup = true)
+    val (t4N, docs4N, _) = timedRun(n * 4, nFiles, warmup = true)
+    require(docsN == docs4N)
+    val efficiency = (tN / t4N) / 4.0
+    println(
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"t_n_sec":$tN%.2f,"files_per_sec_n":${docsN / tN}%.1f,"n4_cores":${n * 4},"t_4n_sec":$t4N%.2f,"files_per_sec_4n":${docsN / t4N}%.1f,"files":$nFiles,"triples":$triplesN}""")
+  }
+}

@@ -28,20 +28,36 @@ object Canonicalize {
   /** Connected components on an undirected edge list.
    * @param edges DataFrame with string columns (src, dst)
    * @return DataFrame (id, component) — component = min node id reachable */
+  /** @param fixedIterations run exactly this many propagation rounds with no
+   * per-round convergence job — correct whenever it is ≥ the graph diameter
+   * (the entity-identity graph has diameter ≤ 3 by construction:
+   * surface—qid—dbpedia chains). Cuts one action per round. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3, fixedIterations: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val sym = edges.select($"src", $"dst")
-      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    // materialize the (possibly corpus-derived) edge set ONCE before
+    // symmetrizing — the union references it twice, and recomputing a
+    // corpus-scan subtree twice doubles the dominant cost
+    val edgesD = edges.select($"src", $"dst").distinct().persist()
+    val sym = edgesD
+      .unionByName(edgesD.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .persist()
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("component", $"id")
       .persist()
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // Convergence via label-set checksum: labels are monotonically
+    // non-increasing under min-propagation, so an unchanged
+    // sum(xxhash64(id, component)) means a fixpoint — one cheap aggregate
+    // per iteration instead of a join against the previous labels.
+    var prevChecksum: Option[String] = None
+    val limit = fixedIterations.getOrElse(maxIter)
+    while (iter < limit && !converged) {
+      val itT0 = System.nanoTime()
       // propagate: min component among neighbors (and self)
       val propagated = sym
         .join(labels, sym("src") === labels("id"))
@@ -51,14 +67,20 @@ object Canonicalize {
       val next0 = propagated.withColumnRenamed("newComponent", "component")
       val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
         else next0).persist()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter($"n.component" =!= $"o.component").limit(1).count()
+      if (fixedIterations.isEmpty) {
+        // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI
+        val checksum = next.agg(sum(xxhash64($"id", $"component").cast("decimal(38,0)")))
+          .head().getDecimal(0).toString
+        converged = prevChecksum.contains(checksum)
+        prevChecksum = Some(checksum)
+      }
       labels.unpersist()
       labels = next
-      converged = changed == 0
       iter += 1
+      if (debug) println(f"  [cc] iter $iter ${(System.nanoTime() - itT0) / 1e9}%.2f s")
     }
     sym.unpersist()
+    edgesD.unpersist()
     labels
   }
 
@@ -83,7 +105,8 @@ object Canonicalize {
   def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
-    val cc = connectedComponents(identityEdges(linked, dbpedia))
+    val cc = connectedComponents(identityEdges(linked, dbpedia),
+      fixedIterations = Some(3)) // surface—qid—dbpedia: diameter ≤ 3
     linked.select($"entityName").distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
       .join(cc, $"nodeId" === cc("id"), "left")

@@ -141,6 +141,23 @@ object Corpus {
     }
   }
 
+  /** Materialize the corpus as a parquet table (the stand-in for the Iceberg
+   * source table) and return a reader. Generation garbage stays out of the
+   * measured pipeline, and the input becomes a real columnar scan —
+   * identical bytes for every parallelism level reading it. */
+  def materialize(spark: SparkSession, dir: String, numFiles: Long,
+      numRepos: Int = 200, seed: Long = 42L, partitions: Int = 32): Dataset[SourceFile] = {
+    import spark.implicits._
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_CORPUS_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      generate(spark, numFiles, numRepos, seed, partitions)
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(marker, java.util.Arrays.asList(numFiles.toString))
+    }
+    spark.read.parquet(s"$dir/corpus").as[SourceFile]
+  }
+
   /** Manifest with the per-row integrity hash (input_hint invariant). */
   def manifest(corpus: Dataset[SourceFile]): Dataset[ManifestRow] = {
     val spark = corpus.sparkSession

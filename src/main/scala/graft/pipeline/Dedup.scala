@@ -30,9 +30,16 @@ object Dedup {
   def exact(triples: Dataset[Triple]): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"subject", $"predicate", $"obj")
-      .orderBy(inferredPriority, $"docId", $"lang")
-    triples.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn").as[Triple]
+    // min_by hash aggregate, not a window: one group per distinct triple,
+    // partial aggregation collapses duplicates map-side before the shuffle
+    val payload = struct($"subject", $"predicate", $"obj", $"inferred",
+      $"subjectType", $"objectType", $"subjectInferred", $"objectInferred",
+      $"docId", $"lang")
+    triples
+      .groupBy($"subject", $"predicate", $"obj")
+      .agg(min_by(payload, struct(inferredPriority.as("p"), $"docId", $"lang")).as("best"))
+      .select($"best.*")
+      .as[Triple]
   }
 
   /** Undirected pair key columns. Self-pairs (s == o) group with themselves
@@ -48,14 +55,15 @@ object Dedup {
   def consolidatePairs(triples: Dataset[Triple]): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"pairA", $"pairB")
-      .orderBy(inferredPriority, length($"predicate"), $"predicate", $"subject", $"obj")
+    val payload = struct($"subject", $"predicate", $"obj", $"inferred",
+      $"subjectType", $"objectType", $"subjectInferred", $"objectInferred",
+      $"docId", $"lang")
+    val ordKey = struct(inferredPriority.as("p"), length($"predicate").as("len"),
+      $"predicate", $"subject", $"obj")
     triples
-      .withColumn("pairA", pairKey.head)
-      .withColumn("pairB", pairKey(1))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .drop("rn", "pairA", "pairB")
+      .groupBy(least($"subject", $"obj").as("pairA"), greatest($"subject", $"obj").as("pairB"))
+      .agg(min_by(payload, ordKey).as("best"))
+      .select($"best.*")
       .as[Triple]
   }
 

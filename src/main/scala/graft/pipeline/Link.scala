@@ -2,31 +2,33 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /**
  * Stage 2: entity linking = candidate generation + deterministic
- * window-ranked argmax disambiguation (north_star).
+ * disambiguation (north_star's "salted hash-join + window-ranked argmax",
+ * executed in its algebraically reduced form — see below).
  *
  * Replaces the reference's sequential 4-level fallback cascade per entity
  * (reference: entityextractor/core/linker.py:63-121 — LLM URL, opensearch
  * top-1, redirect follow, synonym retry) with ONE broadcast hash join against
- * a union'd alias index whose aliasKind column encodes the fallback level;
- * the cascade's short-circuit priority becomes the ORDER BY of a window
- * row_number (SURVEY.md §2.4). Candidate scoring is deterministic
- * (kind priority, then popularity, then qid) so results are reproducible at
- * any parallelism — the reference instead trusts API result order
- * (wikidata_service.py:59-64).
+ * a union'd alias index whose aliasKind column encodes the fallback level.
  *
- * Scale notes: the probe side (mentions) never shuffles for the lookup —
- * broadcast join only. The argmax window shuffles by (docId, citationStart),
- * a high-cardinality composite key that cannot hot-spot on ubiquitous alias
- * surfaces (the skew-defusing property the north_rule asks for: the heavy
- * key "buffer" is spread across every document it occurs in).
+ * Physical design, learned the hard way (see git history): the deterministic
+ * candidate score (kind priority, popularity, qid) is a pure function of the
+ * ALIAS, so the per-mention argmax factors through a per-alias argmax over
+ * the KB — a dimension-sized reduction done once, NOT a corpus-sized
+ * window/sort-aggregate. Per-mention grouping of a 10^12-row stream with a
+ * window or min_by(struct) plans as SortAggregate + per-row interpreted
+ * struct orderings (measured GC storms locally); the reduced form is a
+ * broadcast join plus a pure HashAggregate distinct. A context-dependent
+ * score (if one is ever added) belongs in a follow-up scoring join, not in
+ * the mention-stream aggregate.
  */
 object Link {
 
-  /** Candidate rows: one per (mention, KB alias hit). */
+  /** Candidate rows: one per (mention, KB alias hit) — the full candidate
+   * set, used by tests and diagnostics; the pipeline links against the
+   * per-alias argmax of this. */
   def candidates(mentions: Dataset[Mention], labels: Dataset[KbLabel]): DataFrame = {
     val kindPrio = when(col("aliasKind") === "exact", 0)
       .when(col("aliasKind") === "redirect", 1)
@@ -40,45 +42,80 @@ object Link {
           .otherwise(col("popularity").cast("double") - col("kindPriority") * 1000000.0))
   }
 
-  /** Argmax per mention: best candidate by (kind priority, popularity desc,
-   * qid asc). Unmatched mentions survive with null qid — the reference keeps
-   * unlinked entities too (linker.py:227). */
+  /** Per-alias best candidate: argmax by (kind priority, popularity desc,
+   * qid asc). KB-dimension-sized — the one place a sort-aggregate is fine. */
+  def bestPerAlias(labels: Dataset[KbLabel]): DataFrame = {
+    val kindPrio = when(col("aliasKind") === "exact", 0)
+      .when(col("aliasKind") === "redirect", 1)
+      .otherwise(2)
+    val payload = struct(
+      col("canonicalTitle"), col("qid"), col("entityType"), col("popularity"),
+      col("extract"), col("categories"), col("kindPriority"))
+    labels
+      .withColumn("kindPriority", kindPrio)
+      .groupBy(col("aliasNorm"))
+      .agg(min_by(payload, struct(col("kindPriority"), (-col("popularity")).as("negPop"), col("qid"))).as("best"))
+      .select(col("aliasNorm"), col("best.*"))
+  }
+
+  /**
+   * Link the raw mention stream. Overlap duplicates (same docId+offset from
+   * adjacent chunks) are identical rows once chunk provenance is dropped, so
+   * dedup is a plain distinct() — grouping keys only, empty aggregation
+   * buffer, whole-stage-codegen HashAggregate with map-side partial
+   * collapse. Unmatched mentions survive with null qid — the reference
+   * keeps unlinked entities too (linker.py:227).
+   */
   def link(mentions: Dataset[Mention], labels: Dataset[KbLabel]): Dataset[LinkedEntity] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val w = Window
-      .partitionBy($"docId", $"citationStart")
-      .orderBy(desc("linkScore"), asc("qid"))
-    candidates(mentions, labels)
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    val uniq = mentions.drop("chunkId").distinct()
+    uniq.join(broadcast(bestPerAlias(labels)), Seq("aliasNorm"), "left")
       .select(
-        $"docId", $"repo", $"path", $"lang", $"chunkId", $"surface",
+        $"docId", $"repo", $"path", $"lang", $"surface",
         $"citationStart", $"citationEnd", $"inferred",
         coalesce($"canonicalTitle", $"surface").as("entityName"),
         coalesce($"entityType", lit("UNKNOWN")).as("entityType"),
         $"qid",
         $"canonicalTitle".as("wikipediaTitle"),
         $"extract".as("wikipediaExtract"),
-        coalesce($"categories", array()).as("categories"),
-        $"linkScore")
+        coalesce($"categories", array().cast("array<string>")).as("categories"),
+        when($"qid".isNull, lit(0.0))
+          .otherwise($"popularity".cast("double") - $"kindPriority" * 1000000.0)
+          .as("linkScore"))
       .as[LinkedEntity]
   }
 
   /**
    * Per-document entity dimension: distinct entities, first occurrence wins
-   * (reference entity dedup by URL-or-name, orchestrator.py:56-61). One row
-   * per (docId, entityName) ordered by first citation offset.
+   * (reference entity dedup by URL-or-name, orchestrator.py:56-61).
+   *
+   * Hash-aggregate-only: every column that is constant within a
+   * (docId, entityName) group — type, qid, provenance — goes into the GROUP
+   * KEY; the only aggregated value is the fixed-width min offset. (The
+   * first-occurrence surface/citation span is a packaging concern — see
+   * packagedEntities — and deliberately not computed here, where it would
+   * force a sort-aggregate onto the hot path.)
    */
   def docEntities(linked: Dataset[LinkedEntity]): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"docId", $"entityName").orderBy($"citationStart")
     linked
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"docId", $"repo", $"path", $"lang", $"entityName", $"entityType",
-        $"qid", $"inferred", $"citationStart".as("firstPos"),
-        $"surface".as("citation"), $"citationEnd")
+      .groupBy($"docId", $"entityName", $"repo", $"path", $"lang",
+        $"entityType", $"qid", $"inferred")
+      .agg(min($"citationStart").as("firstPos"))
+  }
+
+  /** Packaged entities with exact first-citation spans (reference R5 shape,
+   * orchestrator.py:349-445): join the lean dimension back to the mention
+   * rows at the winning offset. Costs one co-partitioned shuffle join; used
+   * by output materialization, not by the relate/canonicalize hot path. */
+  def packagedEntities(linked: Dataset[LinkedEntity], docEntities: DataFrame): DataFrame = {
+    val spans = linked.select(
+      col("docId"), col("entityName"),
+      col("citationStart").as("firstPos"),
+      col("surface").as("citation"), col("citationEnd"))
+    docEntities.join(spans, Seq("docId", "entityName", "firstPos"), "left")
+      .dropDuplicates("docId", "entityName") // a span join can only tie on identical rows
   }
 }

@@ -96,7 +96,6 @@ final case class LinkedEntity(
     repo: String,
     path: String,
     lang: String,
-    chunkId: Int,
     surface: String,
     citationStart: Int,
     citationEnd: Int,

@@ -39,18 +39,28 @@ object Pipeline {
     val wikidata = KB.wikidata(spark)
     val dbpedia = KB.dbpedia(spark)
 
-    val mentions = Detect.mentions(corpus, gaz, cfg.chunkSize, cfg.chunkOverlap)
+    // RAW mentions (overlap duplicates included): the link window dedups them
+    // in the same shuffle as the argmax — one pass over the fattest stream
+    val mentions = Detect.rawMentions(
+      Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
     // persist the stage boundaries: every downstream consumer (relate, CC,
     // stats, write) would otherwise re-run the whole detect+link chain per action
     val linked = Link.link(mentions, labels).persist()
     val docEntities = Link.docEntities(linked).persist()
+    // materialize EAGERLY and sequentially: AQE runs broadcast builds and
+    // independent stages concurrently, and concurrent consumers of a cold
+    // cache each recompute the full subtree (Spark does not dedupe in-flight
+    // cache fills) — measured as 2-10x run-to-run variance before this
+    docEntities.count()
     val rawTriples = Relate.triples(docEntities, wikidata)
     val validated =
       if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
     var deduped = Dedup.consolidatePairs(Dedup.exact(validated))
     if (cfg.runFuzzyDedup) deduped = Dedup.fuzzy(deduped)
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped).persist()
-    val canonMap = Canonicalize.canonicalMap(linked, dbpedia).persist()
+    // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
+    // materializes concurrently — eager checkpoint so both hit ready blocks
+    val canonMap = Canonicalize.canonicalMap(linked, dbpedia).localCheckpoint(true)
     val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
   }
