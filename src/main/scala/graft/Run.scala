@@ -4,17 +4,35 @@ import org.apache.spark.sql.SparkSession
 import graft.pipeline._
 
 /**
- * CLI entry mirroring the reference's main (reference: entityextractor/main.py:84-158):
- * generate/read a corpus, run the full KG pipeline, write triple/entity/lineage
- * tables, print the statistics block.
+ * CLI entry mirroring the reference's main (reference:
+ * entityextractor/main.py:19-158): run the full KG pipeline over a corpus and
+ * emit the reference-shaped outputs — triple/entity tables, the statistics
+ * JSON block, optional training JSONL and compendium, with KGC and dedup
+ * toggles.
  *
- * Usage: runMain graft.Run [numFiles] [outDir] [cores]
+ * Usage: runMain graft.Run [--files=N] [--out=DIR] [--cores=N]
+ *   [--corpus=PARQUET_DIR]        read corpus from parquet instead of generating
+ *   [--kgc-rounds=N]              reference ENABLE_KGC/KGC_ROUNDS (settings.py:62-63)
+ *   [--no-fuzzy]                  disable fuzzy predicate dedup
+ *   [--chunk-size=N --overlap=N]  reference TEXT_CHUNK_SIZE/OVERLAP (settings.py:24-26)
+ *   [--training]                  write entity+relation JSONL (openai_service.py:133-209)
+ *   [--compendium]                write per-doc compendium (compendium_service.py:9-89)
+ *   [--allowed-types=A,B]         restrict entity types (prompt_utils.py:4-13)
  */
 object Run {
+
   def main(args: Array[String]): Unit = {
-    val numFiles = args.headOption.map(_.toLong).getOrElse(2000L)
-    val outDir = args.lift(1).getOrElse("/tmp/graft-out")
-    val cores = args.lift(2).getOrElse("8")
+    val opts = args.filter(_.startsWith("--")).map { a =>
+      a.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+    val numFiles = opts.get("files").map(_.toLong)
+      .orElse(args.find(!_.startsWith("--")).map(_.toLong)).getOrElse(2000L)
+    val outDir = opts.getOrElse("out", "/tmp/graft-out")
+    val cores = opts.getOrElse("cores", "8")
+
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-kg")
@@ -26,27 +44,53 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val cfg = PipelineConfig(
+      chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(Detect.DefaultChunkSize),
+      chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(Detect.DefaultOverlap),
+      kgcRounds = opts.get("kgc-rounds").map(_.toInt).getOrElse(0),
+      runFuzzyDedup = !opts.contains("no-fuzzy"))
+
     val t0 = System.nanoTime()
-    val corpus = Corpus.generate(spark, numFiles, numRepos = 200, seed = 42L,
-      partitions = cores.toInt * 2).persist()
+    val corpus = opts.get("corpus")
+      .map(dir => spark.read.parquet(dir).as[SourceFile])
+      .getOrElse(Corpus.generate(spark, numFiles, numRepos = 200, seed = 42L,
+        partitions = cores.toInt * 2))
+      .persist()
     val nDocs = corpus.count()
 
-    val result = Pipeline.run(spark, corpus)
+    var result = Pipeline.run(spark, corpus, cfg)
+    // type restriction filter (reference ALLOWED_ENTITY_TYPES != "auto")
+    opts.get("allowed-types").foreach { ts =>
+      val allowed = ts.split(",").map(_.trim).toSeq
+      import org.apache.spark.sql.functions.col
+      result = result.copy(
+        docEntities = result.docEntities.filter(col("entityType").isin(allowed: _*)),
+        triples = result.triples
+          .filter(col("subjectType").isin(allowed: _*) && col("objectType").isin(allowed: _*)))
+    }
+
     Materialize.writeStage(result.canonicalTriples.toDF(), "triples", outDir, resume = false)
     val nTriples = result.triples.count()
-    val elapsed = (System.nanoTime() - t0) / 1e9
 
+    if (opts.contains("training")) {
+      TrainingData.write(TrainingData.entityExamples(corpus, result.docEntities),
+        s"$outDir/training_entities")
+      TrainingData.write(TrainingData.relationExamples(corpus, result.triples),
+        s"$outDir/training_relations")
+    }
+    if (opts.contains("compendium"))
+      Compendium.perDocument(result.linked)
+        .write.mode("overwrite").json(s"$outDir/compendium")
+
+    val statsJson = Stats.statisticsJson(result.linked, result.docEntities, result.triples)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/statistics.json"), statsJson)
+
+    val elapsed = (System.nanoTime() - t0) / 1e9
     println(s"== graft KG pipeline ==")
     println(f"docs=$nDocs triples=$nTriples elapsed=$elapsed%.2fs " +
       f"files/sec=${nDocs / elapsed}%.1f triples/sec=${nTriples / elapsed}%.1f")
-    println("-- types_distribution --")
-    Stats.typesDistribution(result.docEntities).show(20, false)
-    println("-- linked share --")
-    Stats.linkedShare(result.docEntities).show(false)
-    println("-- top categories --")
-    Stats.topCategories(result.linked).show(false)
-    println("-- entity_connections (top 10) --")
-    Stats.entityConnections(result.triples).show(10, false)
+    println(s"statistics: $statsJson")
     spark.stop()
   }
 }

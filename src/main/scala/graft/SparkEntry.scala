@@ -253,6 +253,40 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // ---- scalar parsing / URL functions (reference §2.2) ----
+    "q_parse_lines" -> ((s, dir) => {
+      val lines = t(s, dir, "part")
+        .select(col("p_partkey"),
+          concat_ws("; ", col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size").cast("string")).as("line"))
+      lines.select(col("p_partkey"),
+          graft.functions.TextFunctions.parseEntityLine(col("line")).as("e"))
+        .select(col("p_partkey"), col("e.name").as("name"),
+          col("e.entityType").as("entity_type"), col("e.url").as("url"),
+          col("e.citation").as("citation"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_url_ops" -> ((s, dir) => {
+      val urls = t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("https://en.wikipedia.org/wiki/"),
+          replace(col("p_name"), lit(" "), lit("_"))).as("url"))
+      urls.select(col("p_partkey"),
+          graft.functions.TextFunctions.isValidWikipediaUrl(col("url")).as("valid"),
+          graft.functions.TextFunctions.urlToTitle(col("url")).as("title"),
+          graft.functions.TextFunctions.langFromUrl(col("url")).as("lang"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- explicit skew handling (north_rule) ----
+    "q_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedCount(t(s, dir, "lineitem"), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_salted_distinct" -> ((s, dir) => {
+      graft.ops.Skew.saltedDistinctCount(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- multimodal plumbing (stubbed codec; deterministic) ----
     "q_media_decode" -> ((s, dir) => {
       MediaOps.decode(MediaOps.generate(s, 300)).toDF()
@@ -418,6 +452,33 @@ object SparkEntry {
         |  FROM d)
         |SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+    "q_parse_lines" ->
+      """WITH l AS (
+        |  SELECT p_partkey,
+        |    p_name || '; ' || p_brand || '; ' || p_type || '; ' || CAST(p_size AS VARCHAR) AS line
+        |  FROM part)
+        |SELECT p_partkey,
+        |  trim(string_split(line, ';')[1]) AS name,
+        |  trim(string_split(line, ';')[2]) AS entity_type,
+        |  trim(string_split(line, ';')[3]) AS url,
+        |  trim(string_split(line, ';')[4]) AS citation
+        |FROM l ORDER BY p_partkey""".stripMargin,
+    "q_url_ops" ->
+      """WITH u AS (
+        |  SELECT p_partkey,
+        |    'https://en.wikipedia.org/wiki/' || replace(p_name, ' ', '_') AS url
+        |  FROM part)
+        |SELECT p_partkey,
+        |  regexp_matches(url, '^https?://[a-z]{2}\.wikipedia\.org/wiki/[\w\-%]+') AS valid,
+        |  replace(regexp_extract(url, '/wiki/([^#?]+)', 1), '_', ' ') AS title,
+        |  regexp_extract(url, '^https?://([a-z]{2})\.', 1) AS lang
+        |FROM u ORDER BY p_partkey""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_cnt FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardOracle,
     "q_minhash_dedup" -> jaccardOracle,
     "q_ann_topk" ->

@@ -37,6 +37,28 @@ object Stats {
       .limit(k)
   }
 
+  /** The full statistics block as ONE JSON document (reference R6 shape,
+   * orchestrator.py:483-591): total_entities, types_distribution, linked
+   * share, top categories, entity_connections. Assembled from the
+   * already-aggregated small tables — a driver-side collect of
+   * dimension-sized results, not a corpus-scale operation. */
+  def statisticsJson(linked: Dataset[LinkedEntity], docEntities: DataFrame,
+      triples: Dataset[Triple], topK: Int = 10): String = {
+    val spark = linked.sparkSession
+    val types = typesDistribution(docEntities).collect()
+      .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").mkString("{", ", ", "}")
+    val share = linkedShare(docEntities).collect().head
+    val cats = topCategories(linked, topK).collect()
+      .map(r => s"""{"category": "${r.getString(0)}", "count": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    val conns = entityConnections(triples).limit(topK).collect()
+      .map(r => s"""{"entity": "${r.getString(0)}", "connections": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    s"""{"total_entities": ${share.getLong(0)}, "types_distribution": $types, """ +
+      s""""linked": {"wikipedia": {"count": ${share.getLong(1)}, "percent": ${share.getDouble(2)}}}, """ +
+      s""""top_wikipedia_categories": $cats, "entity_connections": $conns}"""
+  }
+
   /** entity_connections: distinct-neighbor degree over the undirected triple
    * edge list (orchestrator.py:581-590). Exact countDistinct for fixture
    * parity; at 10^12-edge scale swap in approx_count_distinct. */

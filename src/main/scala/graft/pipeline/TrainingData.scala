@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * JSONL training-data sinks (reference R10: openai_service.py:133-209,
+ * generator.py:26-76): one {"messages":[system,user,assistant]} object per
+ * document, with the assistant content in the reference's semicolon-line
+ * format ("name; type; url; citation" for entities; "subject; predicate;
+ * object" for relations). `ds.write.json(path)` emits exactly JSONL.
+ */
+object TrainingData {
+
+  val EntitySystemPrompt =
+    "Extract named entities as lines: name; type; url; citation"
+  val RelationSystemPrompt =
+    "Extract relationships as lines: subject; predicate; object"
+
+  private def message(role: String, content: Column) =
+    struct(lit(role).as("role"), content.as("content"))
+
+  /** Entity-extraction examples: user = document content, assistant =
+   * semicolon lines of the document's entities in first-occurrence order. */
+  def entityExamples(corpus: Dataset[SourceFile], docEntities: DataFrame): DataFrame = {
+    val lines = docEntities
+      .withColumn("line", concat_ws("; ",
+        col("entityName"), col("entityType"),
+        concat(lit("https://en.wikipedia.org/wiki/"),
+          replace(col("entityName"), lit(" "), lit("_"))),
+        col("entityName")))
+      .groupBy(col("docId"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("firstPos"), col("line")))),
+        x => x.getField("line")), "\n").as("assistant"))
+    corpus
+      .withColumn("docId", concat(col("repo"), lit(":"), col("path")))
+      .join(lines, Seq("docId"))
+      .select(array(
+        message("system", lit(EntitySystemPrompt)),
+        message("user", col("content")),
+        message("assistant", col("assistant"))).as("messages"))
+  }
+
+  /** Relation examples: assistant = "subject; predicate; object" lines in a
+   * deterministic order. */
+  def relationExamples(corpus: Dataset[SourceFile], triples: Dataset[Triple]): DataFrame = {
+    val lines = triples
+      .withColumn("line", concat_ws("; ", col("subject"), col("predicate"), col("obj")))
+      .groupBy(col("docId"))
+      .agg(array_join(array_sort(collect_list(col("line"))), "\n").as("assistant"))
+    corpus
+      .withColumn("docId", concat(col("repo"), lit(":"), col("path")))
+      .join(lines, Seq("docId"))
+      .select(array(
+        message("system", lit(RelationSystemPrompt)),
+        message("user", col("content")),
+        message("assistant", col("assistant"))).as("messages"))
+  }
+
+  def write(examples: DataFrame, path: String): Unit =
+    examples.write.mode("append").json(path)
+}

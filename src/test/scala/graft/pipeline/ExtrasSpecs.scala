@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.ops.Skew
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  test("semicolon entity-line parser drops malformed lines") {
+    val df = Seq(
+      "Albert Einstein; Person; https://de.wikipedia.org/wiki/Albert_Einstein; der Physiker",
+      "broken; line",
+      "A; B; C; D; E").toDF("line")
+      .select(TextFunctions.parseEntityLine($"line").as("e"))
+    val rows = df.collect()
+    assert(rows(0).getStruct(0).getString(0) == "Albert Einstein")
+    assert(rows(0).getStruct(0).getString(1) == "Person")
+    assert(rows(1).isNullAt(0)) // < 4 fields -> dropped (openai_service.py:113)
+    assert(rows(2).getStruct(0).getString(3) == "D") // extra fields ignored
+  }
+
+  test("triple parser: json array first, semicolon fallback") {
+    val json = Seq("""[{"subject":"A","predicate":"uses","object":"B"}]""").toDF("p")
+      .select(TextFunctions.parseTripleJson($"p").as("t")).collect()
+    assert(json(0).getSeq[org.apache.spark.sql.Row](0).head.getString(1) == "uses")
+    val line = Seq("A; part of; B", "nope").toDF("l")
+      .select(TextFunctions.parseTripleLine($"l").as("t")).collect()
+    assert(line(0).getStruct(0).getString(2) == "B")
+    assert(line(1).isNullAt(0))
+  }
+
+  test("url validation, title projection, lang extraction") {
+    val df = Seq(
+      ("https://en.wikipedia.org/wiki/Stream_processing#History", true),
+      ("http://de.wikipedia.org/wiki/K%C3%B6ln", true),
+      ("https://example.com/wiki/Nope", false)).toDF("url", "want")
+      .select($"url", $"want",
+        TextFunctions.isValidWikipediaUrl($"url").as("valid"),
+        TextFunctions.urlToTitle($"url").as("title"),
+        TextFunctions.langFromUrl($"url").as("lang"))
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getBoolean(2) == r.getBoolean(1), r.getString(0)))
+    assert(rows(0).getString(3) == "Stream processing" && rows(0).getString(4) == "en")
+    assert(rows(1).getString(3) == "Köln" && rows(1).getString(4) == "de")
+  }
+
+  test("inferred normalization matches reference semantics") {
+    val out = Seq("explizit", "EXPLICIT", "implizit", "whatever")
+      .toDF("x").select(TextFunctions.normalizeInferred($"x")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("explicit", "explicit", "implicit", "implicit"))
+  }
+
+  test("wikidata time trim, ellipsis strip, clean text, citation span") {
+    assert(Seq("+1994-01-27T00:00:00Z").toDF("t")
+      .select(TextFunctions.trimWikidataTime($"t")).head().getString(0) == "1994-01-27")
+    assert(Seq("too long....", "fine").toDF("t")
+      .select(TextFunctions.stripEllipsis($"t")).collect().map(_.getString(0)).toSeq
+      == Seq("too long", "fine"))
+    assert(Seq("```scala\ncode\n```").toDF("t")
+      .select(TextFunctions.cleanText($"t")).head().getString(0).contains("code"))
+    val span = Seq(("hello world", "world")).toDF("c", "q")
+      .select(TextFunctions.citationSpan($"c", $"q").as("s")).head().getStruct(0)
+    assert(span.getInt(0) == 6 && span.getInt(1) == 11)
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  // heavy-hitter distribution: one key owns 80% of rows
+  private lazy val skewed = spark.range(10000)
+    .select(when($"id" % 5 =!= 0, lit("hot")).otherwise(concat(lit("k"), $"id")).as("k"),
+      ($"id" % 97).as("v"))
+
+  test("saltedCount equals plain groupBy count") {
+    val plain = skewed.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(skewed.toDF(), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedDistinctCount equals countDistinct") {
+    val plain = skewed.groupBy("k").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedDistinctCount(skewed.toDF(), Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val build = Seq(("hot", 1), ("k5", 2), ("missing", 3)).toDF("k", "tag")
+    val plain = skewed.join(build, Seq("k")).groupBy("k", "tag").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(skewed.toDF(), build, "k").groupBy("k", "tag").count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+}
+
+class TrainingCompendiumSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  private lazy val corpus = Corpus.generate(spark, 50L, 5, 42L, 2).persist()
+  private lazy val result = Pipeline.run(spark, corpus)
+
+  test("entity training examples are valid JSONL with reference message shape") {
+    val ex = TrainingData.entityExamples(corpus, result.docEntities)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-train").toString
+    TrainingData.write(ex, tmp)
+    val back = spark.read.json(tmp)
+    assert(back.count() == ex.count() && back.count() > 0)
+    val msgs = back.select(explode($"messages").as("m")).select($"m.role", $"m.content")
+    val roles = msgs.select("role").distinct().collect().map(_.getString(0)).toSet
+    assert(roles == Set("system", "user", "assistant"))
+    // assistant lines parse back through the semicolon parser
+    val assistant = msgs.filter($"role" === "assistant")
+      .select(explode(split($"content", "\n")).as("line"))
+      .select(graft.functions.TextFunctions.parseEntityLine($"line").as("e"))
+    assert(assistant.filter($"e".isNull).count() == 0)
+  }
+
+  test("relation examples round-trip through the triple parser") {
+    val ex = TrainingData.relationExamples(corpus, result.triples)
+    val lines = ex.select(explode($"messages").as("m"))
+      .filter($"m.role" === "assistant")
+      .select(explode(split($"m.content", "\n")).as("line"))
+      .select(graft.functions.TextFunctions.parseTripleLine($"line").as("t"))
+    assert(lines.count() > 0 && lines.filter($"t".isNull).count() == 0)
+  }
+
+  test("compendium: extracts in first-occurrence order, refs deduped order-preserving") {
+    val comp = Compendium.perDocument(result.linked)
+    val row = comp.orderBy($"docId").head()
+    val refs = row.getSeq[String](row.fieldIndex("references"))
+    assert(refs.distinct == refs) // order-preserving dedup
+    assert(row.getString(row.fieldIndex("compendium")).nonEmpty)
+    val numbered = row.getSeq[String](row.fieldIndex("referencesNumbered"))
+    assert(numbered.head.startsWith("(1) "))
+  }
+
+  test("statistics JSON block has the reference keys") {
+    val json = Stats.statisticsJson(result.linked, result.docEntities, result.triples)
+    Seq("total_entities", "types_distribution", "linked", "top_wikipedia_categories",
+      "entity_connections").foreach(k => assert(json.contains(k), k))
+    // must be parseable JSON
+    assert(spark.read.json(Seq(json).toDS()).count() == 1)
+  }
+}
