@@ -24,18 +24,21 @@ object Materialize {
   val DefaultBuckets = 64
 
   /** Sort columns defining the canonical order of a triple row. */
-  private val tripleOrder = Seq("subjectId", "predicate", "objectId", "inferred", "docId")
+  val tripleOrder = Seq("subjectId", "predicate", "objectId", "inferred", "docId")
 
-  def withBucket(df: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
-    df.withColumn("repo", substring_index(col("docId"), ":", 1))
-      .withColumn("bucket", pmod(hash(col("repo")), lit(buckets)))
+  def withBucket(df: DataFrame, buckets: Int = DefaultBuckets): DataFrame = {
+    val base = if (df.columns.contains("repo")) df
+      else df.withColumn("repo", substring_index(col("docId"), ":", 1))
+    base.withColumn("bucket", pmod(hash(col("repo")), lit(buckets)))
+  }
 
   /** Per-(lang,bucket) lineage rows: row count + sha256 of the sorted row
    * set. collect_list per bucket is fine at fixture scale; at 10^12 rows the
    * same contract is kept with a sortWithinPartitions + mapPartitions
    * streaming digest (one pass, no per-group array). */
-  def lineage(df: DataFrame, stage: String, buckets: Int = DefaultBuckets): DataFrame = {
-    val rowStr = concat_ws("", tripleOrder.map(col): _*)
+  def lineage(df: DataFrame, stage: String, buckets: Int = DefaultBuckets,
+      sortCols: Seq[String] = tripleOrder): DataFrame = {
+    val rowStr = concat_ws("", sortCols.map(col): _*)
     withBucket(df, buckets)
       .select(col("lang"), col("bucket"), rowStr.as("r"))
       .groupBy(col("lang"), col("bucket"))
@@ -54,16 +57,17 @@ object Materialize {
    * write when the marker exists (stage-granular restart).
    */
   def writeStage(df: DataFrame, stage: String, outDir: String,
-      buckets: Int = DefaultBuckets, resume: Boolean = true): Boolean = {
+      buckets: Int = DefaultBuckets, resume: Boolean = true,
+      sortCols: Seq[String] = tripleOrder): Boolean = {
     val dir = s"$outDir/$stage"
     if (resume && isComplete(dir)) return false
     val bucketed = withBucket(df, buckets)
       .repartition(col("lang"), col("bucket"))
-      .sortWithinPartitions(tripleOrder.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("lang", "bucket")
       .parquet(s"$dir/data")
-    lineage(df, stage, buckets)
+    lineage(df, stage, buckets, sortCols)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).json(s"$dir/lineage")
     Files.createDirectories(Paths.get(dir))

@@ -66,6 +66,63 @@ object Pipeline {
   }
 
   /**
+   * Checkpointed run: every stage boundary is materialized through
+   * [[Materialize.writeStage]] (data + per-partition lineage + completion
+   * marker), and a rerun resumes at the first incomplete stage — the
+   * stage-granular restart the north_star requires (the reference's analog
+   * is its sha256-keyed response cache, cache_utils.py:7-51).
+   *
+   * Returns (canonicalTriples, stagesRun) where stagesRun lists the stages
+   * actually computed this invocation (resumed stages are absent).
+   */
+  def runCheckpointed(spark: SparkSession, corpus: Dataset[SourceFile], outDir: String,
+      cfg: PipelineConfig = PipelineConfig()): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val labels = KB.labels(spark)
+    val wikidata = KB.wikidata(spark)
+    val dbpedia = KB.dbpedia(spark)
+
+    // stage 1: linked entities
+    if (!Materialize.isComplete(s"$outDir/linked")) {
+      val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb())
+      val mentions = Detect.rawMentions(
+        Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
+      val linked = Link.link(mentions, labels)
+      Materialize.writeStage(linked.toDF(), "linked", outDir, cfg.buckets,
+        resume = true, sortCols = Seq("docId", "citationStart", "entityName"))
+      ran += "linked"
+    }
+    val linked = Materialize.readStage(spark, "linked", outDir)
+      .drop("bucket").as[LinkedEntity].persist()
+
+    // stage 2: deduped triples
+    if (!Materialize.isComplete(s"$outDir/triples")) {
+      val docEntities = Link.docEntities(linked).persist()
+      docEntities.count()
+      var deduped = Dedup.consolidatePairs(Dedup.exact(Relate.triples(docEntities, wikidata)))
+      if (cfg.runFuzzyDedup) deduped = Dedup.fuzzy(deduped)
+      val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped
+      Materialize.writeStage(withKgc.toDF(), "triples", outDir, cfg.buckets,
+        resume = true, sortCols = Seq("subject", "predicate", "obj", "inferred", "docId"))
+      docEntities.unpersist()
+      ran += "triples"
+    }
+    val triples = Materialize.readStage(spark, "triples", outDir)
+      .drop("bucket").as[Triple]
+
+    // stage 3: canonical triples
+    if (!Materialize.isComplete(s"$outDir/canonical")) {
+      val canonMap = Canonicalize.canonicalMap(linked, dbpedia).localCheckpoint(true)
+      val canonical = Canonicalize.canonicalTriples(triples, canonMap)
+      Materialize.writeStage(canonical.toDF(), "canonical", outDir, cfg.buckets, resume = true)
+      ran += "canonical"
+    }
+    linked.unpersist()
+    (Materialize.readStage(spark, "canonical", outDir), ran.toSeq)
+  }
+
+  /**
    * Knowledge-Graph-Completion rounds (reference: orchestrator.py:447-468):
    * each round lifts KB part-of/member-of relations whose SUBJECT is already
    * a KG entity (the object may be new), keeps only novel (s,p,o) keys via

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan assertions: the plan properties the scale design depends on
+ * are pinned here so a refactor cannot silently regress them
+ * (SURVEY.md §4 "what our engine relies on Catalyst for — verify in plans").
+ */
+class PlanSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val corpus = Corpus.generate(spark, 60L, 5, 42L, 2)
+  private lazy val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb())
+  private lazy val mentions = Detect.rawMentions(Detect.chunks(corpus), gaz)
+
+  test("parquet scan gets predicate and projection pushdown") {
+    val q = graft.SparkEntry.queries("q_filter_project")(spark, "/root/testdata/sf0.001")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") && scan.contains("l_shipdate"),
+      "filters must reach the parquet scan")
+    assert(scan.contains("ReadSchema"))
+    // projection pruning: unused wide columns must not be read
+    assert(!scan.split("ReadSchema")(1).split("\n")(0).contains("l_extendedprice"))
+  }
+
+  /** A SortAggregate is fine on the KB build side (dimension-scale, inside
+   * the BroadcastExchange subtree) but must never touch the mention-scale
+   * probe side, where it would mean per-row interpreted struct orderings. */
+  private def assertNoProbeSideSortAgg(plan: String): Unit = {
+    val firstSortAgg = plan.indexOf("SortAggregate")
+    val broadcastBuild = plan.indexOf("BroadcastExchange")
+    assert(firstSortAgg == -1 || (broadcastBuild != -1 && firstSortAgg > broadcastBuild),
+      "SortAggregate on the mention-scale probe side")
+  }
+
+  test("link is broadcast-join + hash-aggregate only — no sort aggregate, no shuffle lookup") {
+    val plan = planOf(Link.link(mentions, KB.labels(spark)).toDF())
+    assert(plan.contains("BroadcastHashJoin"), "KB lookup must be a broadcast join")
+    assert(!plan.contains("SortMergeJoin"), "mention stream must not shuffle for the lookup")
+    assert(plan.contains("HashAggregate"))
+    assertNoProbeSideSortAgg(plan)
+  }
+
+  test("docEntities is a pure hash aggregate on the probe side") {
+    val plan = planOf(Link.docEntities(Link.link(mentions, KB.labels(spark))))
+    assert(plan.contains("HashAggregate"))
+    assertNoProbeSideSortAgg(plan)
+  }
+
+  test("mention dedup is a grouping-only distinct (no window)") {
+    val plan = planOf(mentions.drop("chunkId").distinct().toDF())
+    assert(plan.contains("HashAggregate") && !plan.contains("Window"))
+  }
+
+  test("no query plans a cartesian product or nested-loop join over big inputs") {
+    val dir = "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(graft.SparkEntry.queries("q_topk")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Stage-granular checkpoint/resume (north_star; SURVEY.md §5 resume test):
+ * kill-after-stage-k is simulated by deleting completion markers. */
+class ResumeSpec extends AnyFunSuite {
+  import SparkHolder.spark
+
+  test("checkpointed run resumes at the first incomplete stage") {
+    val corpus = Corpus.generate(spark, 120L, 10, 42L, 4)
+    val out = Files.createTempDirectory("graft-resume").toString
+
+    val (res1, ran1) = Pipeline.runCheckpointed(spark, corpus, out)
+    assert(ran1 == Seq("linked", "triples", "canonical"))
+    val triples1 = res1.select("subjectId", "predicate", "objectId", "inferred")
+      .collect().map(_.toSeq).toSet
+    assert(triples1.nonEmpty)
+
+    // full rerun: everything resumed, nothing recomputed
+    val (_, ran2) = Pipeline.runCheckpointed(spark, corpus, out)
+    assert(ran2.isEmpty)
+
+    // "kill" after stage 2: canonical marker missing -> only canonical reruns
+    Files.delete(Materialize.completeMarker(s"$out/canonical"))
+    val (res3, ran3) = Pipeline.runCheckpointed(spark, corpus, out)
+    assert(ran3 == Seq("canonical"))
+    val triples3 = res3.select("subjectId", "predicate", "objectId", "inferred")
+      .collect().map(_.toSeq).toSet
+    assert(triples3 == triples1)
+
+    // lineage rows exist for every stage with the required fields
+    Seq("linked", "triples", "canonical").foreach { st =>
+      val lin = spark.read.json(s"$out/$st/lineage")
+      assert(lin.columns.toSet == Set("lang", "bucket", "rowCount", "sha256", "stage"))
+      assert(lin.count() > 0)
+    }
+
+    // a fresh run into a different dir at different parallelism yields
+    // identical final lineage (the cross-cluster-size determinism invariant)
+    val out2 = Files.createTempDirectory("graft-resume2").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      Pipeline.runCheckpointed(spark, corpus, out2)
+      val l1 = spark.read.json(s"$out/canonical/lineage")
+        .select("lang", "bucket", "rowCount", "sha256").collect().map(_.toSeq).toSet
+      val l2 = spark.read.json(s"$out2/canonical/lineage")
+        .select("lang", "bucket", "rowCount", "sha256").collect().map(_.toSeq).toSet
+      assert(l1 == l2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
