@@ -253,6 +253,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("term"))
     }),
 
+    // ---- sessionization (gap-based event-time sessions) ----
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull
+            || col("ts").cast("timestamp").cast("long")
+               - col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- approximate distinct degree (the 10^12-scale fallback for
+    // entity_connections; rows-only check: HLL estimates are engine-specific) ----
+    "q_distinct_degree_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
+          concat(lit("s"), col("l_suppkey")).as("nbr"))
+        .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
+          concat(lit("p"), col("l_partkey")).as("nbr")))
+      e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("degree_approx"))
+        .orderBy(col("node"))
+    }),
+
+    // ---- custom codegen Expression: Ratcliff/Obershelp similarity join
+    // (rows-only: the metric is not available in DuckDB) ----
+    "q_similarity_expr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val names = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      names.as("l").join(names.as("r"), col("l.p_partkey") < col("r.p_partkey"))
+        .withColumn("sim", graft.functions.GraftFunctions.ro_sim(col("l.p_name"), col("r.p_name")))
+        .filter(col("sim") >= 0.8)
+        .select(col("l.p_partkey").as("a"), col("r.p_partkey").as("b"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- scalar parsing / URL functions (reference §2.2) ----
     "q_parse_lines" -> ((s, dir) => {
       val lines = t(s, dir, "part")
@@ -452,6 +494,21 @@ object SparkEntry {
         |  FROM d)
         |SELECT min(doc_id) AS cluster_id, count(*) AS cluster_size
         |FROM f GROUP BY fp HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_parse_lines" ->
       """WITH l AS (
         |  SELECT p_partkey,
