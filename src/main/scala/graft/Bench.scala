@@ -34,7 +34,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "20000").toLong
+    // default pipeline-bench corpus sized to the heap (the driver may run
+    // this JVM at 8g; 100k files' caches want headroom)
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES",
+      if (Runtime.getRuntime.maxMemory > 12L * (1L << 30)) "100000" else "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

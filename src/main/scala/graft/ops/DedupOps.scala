@@ -59,17 +59,22 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       dfCap: Int = 1000): DataFrame = {
     val sh = shingles(docs, n)
-    val filtered = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap),
-      Seq("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // inverted-index self-join: pairs stream out of the shingle-partitioned
+    // join (an in-row k² array materialization was measured 7x slower).
+    // dfCap drops ubiquitous shingles (SparkER-style blocking-key filter):
+    // they cost k² candidates and carry no near-dup signal.
+    val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val filtered = sh.join(dfCounts.filter(col("df") <= dfCap), Seq("shingle"))
     val inter = filtered.as("l").join(filtered.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is corpus-sized: let AQE pick broadcast when it fits rather
+    // than forcing it (a forced broadcast would break at web scale)
     inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("nsh", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("nsh", "nb"), "b")
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("nsh", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("nsh", "nb"), Seq("b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
@@ -78,31 +83,35 @@ object DedupOps {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** MinHash signature matrix: one row per (id, hashIdx) with the min hash
-   * over the doc's shingles for that seeded hash function. numHashes =
-   * bands * rowsPerBand. */
-  def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
-    sh.select(col("id"), col("shingle"), seeds)
-      .withColumn("hv", hash(col("shingle"), col("h")))
-      .groupBy("id", "h")
-      .agg(min("hv").as("minhash"))
+  /**
+   * MinHash signature matrix in WIDE form: one row per id with numHashes
+   * min-hash columns, computed as a single HashAggregate with numHashes
+   * fixed-width min() buffers — no (shingle × hashIdx) row explosion and no
+   * sort aggregate. numHashes = bands * rowsPerBand.
+   */
+  def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(hash(col("shingle"), lit(i))).as(s"mh$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /**
    * LSH candidate pairs: docs sharing at least one (band, band-signature)
-   * bucket. bands × rowsPerBand hash functions; band signature = hash of the
-   * band's minhash vector. Only same-bucket docs are ever paired — the
-   * shuffle key (band, bucket) spreads uniformly by construction.
+   * bucket; band signature = murmur3 of the band's rowsPerBand min-hashes.
+   * Only same-bucket docs are ever paired — the shuffle key (band, sig)
+   * spreads uniformly by construction.
    */
   def lshCandidates(docs: DataFrame, n: Int = 3, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(docs, n)
-    val mh = minhash(sh, bands * rowsPerBand)
-      .withColumn("band", col("h") % bands)
-    val bandSig = mh.groupBy("id", "band")
-      .agg(hash(sort_array(collect_list(struct(col("h"), col("minhash"))))).as("sig"))
-    bandSig.as("l").join(bandSig.as("r"),
+    val wide = minhashWide(sh, bands * rowsPerBand)
+    val bandSigs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cols :+ lit(b): _*).as("sig"))
+    }
+    val banded = wide.select(col("id"), explode(array(bandSigs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
