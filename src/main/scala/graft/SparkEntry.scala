@@ -232,6 +232,11 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0)
       SimOps.topKLsh(t(s, dir, "embeddings"), q, k = 20)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      SimOps.topKIvf(t(s, dir, "embeddings"), q, k = 20)
+    }),
     "q_cosine_pairs" -> ((s, dir) => {
       SimOps.cosineDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
         .orderBy(col("a"), col("b"))

@@ -77,6 +77,68 @@ object SimOps {
       .limit(k)
   }
 
+  /**
+   * IVF coarse quantizer: deterministic Lloyd iterations over DataFrames.
+   * Init = the k lowest-id vectors (reproducible, no RNG); each iteration is
+   * one broadcast-join argmin assignment + one (cid, dim) hash-aggregate
+   * mean. Centroid count stays dimension-sized, so the index itself is
+   * broadcastable at any corpus scale.
+   */
+  def ivfCentroids(embeddings: DataFrame, k: Int, iterations: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    var centroids = vecs.orderBy("id").limit(k)
+      .select(col("id").cast("int").as("cid"), col("v").as("centroid"))
+      .localCheckpoint(true)
+    (0 until iterations).foreach { _ =>
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .localCheckpoint(true) // eager: next round + queries reuse, no lineage growth
+    }
+    vecs.unpersist()
+    centroids
+  }
+
+  /** Nearest-centroid assignment via broadcast + argmin over the (small)
+   * centroid set. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("v"), col("centroid"))
+        / (l2norm(col("v")) * l2norm(col("centroid"))))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v")), col("d")).as("b"))
+      .select(col("id"), col("b.cid").as("cid"), col("b.v").as("v"))
+
+  /** IVF top-k: probe the `nprobe` centroids nearest to the query, exact
+   * cosine rank within their cells only. Recall < 1 by construction; the
+   * quality baseline is topKBrute. */
+  def topKIvf(embeddings: DataFrame, query: Seq[Float], k: Int,
+      nCentroids: Int = 16, nprobe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCentroids, 3, idCol, vecCol)
+    val vecs = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cells = assign(vecs, centroids)
+    val q = array(query.map(x => lit(x.toDouble)): _*)
+    val probeCids = centroids
+      .withColumn("d", cosine(q, col("centroid")))
+      .orderBy(desc("d")).limit(nprobe)
+      .select(col("cid"))
+    cells.join(broadcast(probeCids), Seq("cid"))
+      .withColumn("sim", round(cosine(col("v"), q), 6))
+      .select(col("id").as(idCol), col("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
    * candidates restricted to same-LSH-bucket (exact within bucket). */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,

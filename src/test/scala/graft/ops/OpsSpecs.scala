@@ -123,6 +123,18 @@ class SimOpsSpec extends AnyFunSuite {
 
   }
 
+  test("IVF top-k: clustered real embeddings give recall@10 >= 0.7 vs brute force") {
+    val e = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val q = e.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0)
+    val brute = SimOps.topKBrute(e, q, k = 10).collect().map(_.getLong(0)).toSet
+    val ivf = SimOps.topKIvf(e, q, k = 10, nCentroids = 16, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(s"ivf recall@10 = $recall")
+    assert(recall >= 0.7)
+  }
+
   test("cosineDupPairs finds planted near-identical vectors") {
     val planted = vecs.unionByName(
       vecs.filter($"vec_id" === 7)
