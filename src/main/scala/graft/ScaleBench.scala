@@ -43,11 +43,24 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toLong).getOrElse(20000L)
     val n = args.lift(1).map(_.toInt).getOrElse(8)
-    val (tN, docsN, triplesN) = timedRun(n, nFiles, warmup = true)
-    val (t4N, docs4N, _) = timedRun(n * 4, nFiles, warmup = true)
-    require(docsN == docs4N)
-    val efficiency = (tN / t4N) / 4.0
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // the sandbox VM's available cycles drift over minutes (host
+    // throttling); interleave the two levels and take per-level BEST so a
+    // throttled window cannot poison one side of the comparison
+    var bestN = Double.MaxValue
+    var best4N = Double.MaxValue
+    var docsN = 0L
+    var triplesN = 0L
+    (0 until reps).foreach { r =>
+      val (tN, dN, tr) = timedRun(n, nFiles, warmup = r == 0)
+      val (t4N, d4N, _) = timedRun(n * 4, nFiles, warmup = r == 0)
+      require(dN == d4N)
+      docsN = dN; triplesN = tr
+      bestN = math.min(bestN, tN); best4N = math.min(best4N, t4N)
+      System.err.println(f"[scale] rep $r: t$n=$tN%.2f t${n * 4}=$t4N%.2f")
+    }
+    val efficiency = (bestN / best4N) / 4.0
     println(
-      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"t_n_sec":$tN%.2f,"files_per_sec_n":${docsN / tN}%.1f,"n4_cores":${n * 4},"t_4n_sec":$t4N%.2f,"files_per_sec_4n":${docsN / t4N}%.1f,"files":$nFiles,"triples":$triplesN}""")
+      f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"t_n_sec":$bestN%.2f,"files_per_sec_n":${docsN / bestN}%.1f,"n4_cores":${n * 4},"t_4n_sec":$best4N%.2f,"files_per_sec_4n":${docsN / best4N}%.1f,"files":$nFiles,"triples":$triplesN,"reps":$reps,"aggregation":"best-per-level (interleaved; host-throttling noise)"}""")
   }
 }

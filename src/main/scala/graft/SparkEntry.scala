@@ -291,8 +291,19 @@ object SparkEntry {
     // (rows-only: the metric is not available in DuckDB) ----
     "q_similarity_expr" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val names = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
-      names.as("l").join(names.as("r"), col("l.p_partkey") < col("r.p_partkey"))
+      // similarity join with LENGTH-BAND blocking: ro_sim >= t implies
+      // max(len) <= min(len) * (2/t - 1), so the equi-ish band prunes the
+      // n² pair space before the expensive expression runs (same
+      // candidates-before-verification discipline as the dedup operators);
+      // brand equality is the blocking key that keeps the join distributed
+      val names = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          length(col("p_name")).as("len"))
+      names.as("l").join(names.as("r"),
+          col("l.p_brand") === col("r.p_brand")
+            && col("l.p_partkey") < col("r.p_partkey")
+            && greatest(col("l.len"), col("r.len"))
+               <= least(col("l.len"), col("r.len")) * 1.5)
         .withColumn("sim", graft.functions.GraftFunctions.ro_sim(col("l.p_name"), col("r.p_name")))
         .filter(col("sim") >= 0.8)
         .select(col("l.p_partkey").as("a"), col("r.p_partkey").as("b"),

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 8: packaged entity records — the reference's legacy output shape R5
+ * (reference: entityextractor/core/orchestrator.py:349-445; worked example
+ * README.md:79-97): per entity, `details` (type, inferred, citation with
+ * exact offsets) and nested `sources.{wikipedia, wikidata, dbpedia}` blocks
+ * populated from the broadcast KB dimensions.
+ *
+ * Dynamic optional dict keys of the reference become nullable struct fields
+ * (SURVEY.md §1.2); sources absent in the KB are null structs, mirroring the
+ * reference's conditional source attachment (orchestrator.py:371-444).
+ */
+object Package {
+
+  def packagedEntities(
+      linked: Dataset[LinkedEntity],
+      docEntities: DataFrame,
+      wikidata: Dataset[KbWikidata],
+      dbpedia: Dataset[KbDbpedia]): DataFrame = {
+    val withSpans = Link.packagedEntities(linked, docEntities)
+    val wd = broadcast(wikidata.toDF()
+      .select(col("qid").as("wdQid"), col("label").as("wdLabel"),
+        col("description").as("wdDescription"), col("aliases"),
+        col("instanceOf"), col("partOf"), col("hasParts"), col("memberOf"),
+        col("officialWebsite")))
+    val dbp = broadcast(dbpedia.toDF()
+      .select(col("qid").as("dbQid"), col("resourceUri"),
+        col("abstractText"), col("types").as("dbTypes"),
+        col("subjects"), col("partOf").as("dbPartOf"),
+        col("hasParts").as("dbHasParts"), col("memberOf").as("dbMemberOf")))
+    val base = linked.toDF()
+      .select(col("docId").as("lDocId"), col("entityName").as("lName"),
+        col("wikipediaTitle"), col("wikipediaExtract"), col("categories"))
+      .dropDuplicates("lDocId", "lName")
+
+    withSpans
+      .join(base, col("docId") === col("lDocId") && col("entityName") === col("lName"), "left")
+      .join(wd, col("qid") === col("wdQid"), "left")
+      .join(dbp, col("qid") === col("dbQid"), "left")
+      .select(
+        col("docId"),
+        col("entityName").as("entity"),
+        struct(
+          col("entityType").as("typ"),
+          col("inferred"),
+          col("citation"),
+          col("firstPos").as("citationStart"),
+          col("citationEnd")).as("details"),
+        struct(
+          when(col("wikipediaTitle").isNotNull, struct(
+            col("wikipediaTitle").as("label"),
+            concat(lit("https://en.wikipedia.org/wiki/"),
+              replace(col("wikipediaTitle"), lit(" "), lit("_"))).as("url"),
+            col("wikipediaExtract").as("extract"),
+            col("categories"))).as("wikipedia"),
+          when(col("wdQid").isNotNull, struct(
+            col("wdQid").as("id"),
+            concat(lit("https://www.wikidata.org/wiki/"), col("wdQid")).as("url"),
+            col("wdLabel").as("label"),
+            col("wdDescription").as("description"),
+            col("aliases"),
+            col("instanceOf").as("types"),
+            col("partOf").as("part_of"),
+            col("hasParts").as("has_parts"),
+            col("memberOf").as("member_of"),
+            col("officialWebsite").as("website"))).as("wikidata"),
+          when(col("dbQid").isNotNull, struct(
+            col("resourceUri").as("resource_uri"),
+            col("abstractText").as("abstract"),
+            col("dbTypes").as("types"),
+            col("subjects"),
+            col("dbPartOf").as("part_of"),
+            col("dbHasParts").as("has_parts"),
+            col("dbMemberOf").as("member_of"))).as("dbpedia")).as("sources"))
+  }
+
+  /** Full result document per docId (reference final JSON shape:
+   * entities + relationships + statistics keys at the top level). */
+  def resultDocuments(packaged: DataFrame, triples: Dataset[Triple]): DataFrame = {
+    val ents = packaged.groupBy(col("docId"))
+      .agg(collect_list(struct(col("entity"), col("details"), col("sources"))).as("entities"))
+    val rels = triples.groupBy(col("docId"))
+      .agg(collect_list(struct(
+        col("subject"), col("predicate"), col("obj").as("object"),
+        col("inferred"), col("subjectType").as("subject_type"),
+        col("objectType").as("object_type"))).as("relationships"))
+    ents.join(rels, Seq("docId"), "left")
+  }
+}
