@@ -21,7 +21,7 @@ object ScaleBench {
       .master(s"local[$cores]")
       .appName(s"graft-scale-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // local-scale knobs (cluster defaults are right at real data sizes):
       // our rows are small but CPU-heavy, so 64MB-target AQE coalescing and
       // 128MB scan splits would leave most cores idle
@@ -62,5 +62,28 @@ object ScaleBench {
     val efficiency = (bestN / best4N) / 4.0
     println(
       f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"t_n_sec":$bestN%.2f,"files_per_sec_n":${docsN / bestN}%.1f,"n4_cores":${n * 4},"t_4n_sec":$best4N%.2f,"files_per_sec_4n":${docsN / best4N}%.1f,"files":$nFiles,"triples":$triplesN,"reps":$reps,"aggregation":"best-per-level (interleaved; host-throttling noise)"}""")
+  }
+}
+
+/**
+ * Single-level variant for OS-pinned measurement: run under
+ * `taskset -c 0..N-1` so the WHOLE JVM (task threads, GC, shuffle IO,
+ * codegen) sees exactly N cores — local[N] alone still lets GC/IO spill
+ * onto other host cores and flatters the small level.
+ * Usage: runMain graft.ScaleBenchOne <nFiles> <cores> [reps]
+ */
+object ScaleBenchOne {
+  def main(args: Array[String]): Unit = {
+    val nFiles = args(0).toLong
+    val cores = args(1).toInt
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    var best = Double.MaxValue
+    var docs = 0L; var triples = 0L
+    (0 until reps).foreach { r =>
+      val (t, d, tr) = ScaleBench.timedRun(cores, nFiles, warmup = r == 0)
+      best = math.min(best, t); docs = d; triples = tr
+      System.err.println(f"[scale-one] cores=$cores rep=$r t=$t%.2f")
+    }
+    println(f"""{"metric":"pipeline_time","cores":$cores,"sec":$best%.2f,"files_per_sec":${docs / best}%.1f,"files":$nFiles,"triples":$triples,"availableProcessors":${Runtime.getRuntime.availableProcessors}}""")
   }
 }
