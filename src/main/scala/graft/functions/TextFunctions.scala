@@ -96,4 +96,28 @@ object TextFunctions {
    * parens stripped (reference: wikipedia_service.py:140-147). */
   def normalizeQuery(c: Column): Column =
     trim(regexp_replace(replace(url_decode(c), lit("_"), lit(" ")), "[()]", ""))
+
+  /**
+   * URL sanitizer (reference: entityextractor/utils/wiki_url_utils.py:3-14):
+   * percent-encode ONLY the title part after the first "/wiki/", spaces to
+   * underscores first, keeping `_()%-` (and the always-safe alphanumerics,
+   * `.`, `~`) unencoded — the semantics of Python's
+   * `urllib.parse.quote(title, safe="_()%-")`.
+   *
+   * Built on `url_encode` (java.net.URLEncoder) with a post-fix chain for
+   * the four characters where URLEncoder and quote() disagree:
+   * `( ) ~` stay literal, `%` stays literal (no double-encoding of existing
+   * escapes), `*` must be encoded. No spaces survive to the encoder, so the
+   * '+'-for-space difference never arises.
+   */
+  def sanitizeWikipediaUrl(url: Column): Column = {
+    val base = substring_index(url, "/wiki/", 1)
+    val title = regexp_extract(url, "/wiki/(.*)$", 1)
+    val enc = url_encode(replace(title, lit(" "), lit("_")))
+    val fixed = replace(replace(replace(replace(replace(
+      enc,
+      lit("%28"), lit("(")), lit("%29"), lit(")")),
+      lit("%7E"), lit("~")), lit("%25"), lit("%")), lit("*"), lit("%2A"))
+    when(url.contains("/wiki/"), concat(base, lit("/wiki/"), fixed)).otherwise(url)
+  }
 }

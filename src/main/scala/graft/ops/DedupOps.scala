@@ -46,7 +46,7 @@ object DedupOps {
     val grams = when(size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
-        i => concat_ws("", slice(toks, i + 1, lit(n)))))
+        i => concat_ws("\u0001", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
     docs.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
   }

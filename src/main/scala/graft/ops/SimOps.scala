@@ -139,17 +139,54 @@ object SimOps {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
-   * candidates restricted to same-LSH-bucket (exact within bucket). */
+  /**
+   * Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold):
+   * BANDED hyperplane LSH candidates + exact cosine verification.
+   *
+   * Recall design (same discipline as DedupOps.minhashDupPairs): a pair at
+   * cosine c agrees on one hyperplane bit with p = 1 - acos(c)/π; a band of
+   * r bits collides with p^r, and the pair is a candidate unless ALL b bands
+   * miss: P(miss) = (1 - p^r)^b. At the defaults (16 bands × 6 bits) and
+   * c = 0.95 (p ≈ 0.899): P(miss) ≈ 6e-6 — effectively lossless, so the
+   * verified output equals brute force while the join stays bucketed.
+   *
+   * `dim` is derived from the data (one single-row probe) unless supplied —
+   * a hardcoded dim silently null-pads `zip_with` on mismatched embeddings
+   * and collapses every signature to one bucket.
+   */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
-    val sigd = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
-    sigd.as("l").join(sigd.as("r"),
-        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .withColumn("sim", round(cosine(col("l.v"), col("r.v")), 6))
+      bands: Int = 16, rowsPerBand: Int = 6, dim: Int = -1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = if (dim > 0) dim else probeDim(embeddings, vecCol)
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bandSigs = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val p = b * rowsPerBand + r
+        when(dot(col("v"), hyperplane(p, d)) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("sig"))
+    }
+    val banded = vecs.select(col("id"), col("v"),
+        explode(array(bandSigs: _*)).as("bs"))
+      .select(col("id"), col("v"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // verify on the raw candidate stream, dedup (a,b) AFTER the filter:
+    // the per-candidate dot product is codegen'd and cheap, so recomputing
+    // it for a pair that collides in k bands beats shuffling array columns
+    // through a distinct — the final dedup moves only (a, b, sim) survivors
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("l.id").as("a"), col("r.id").as("b"), col("sim"))
+      .distinct()
+  }
+
+  /** Embedding width from a single-row probe; fails fast on an empty input
+   * (an unknowable dim means every downstream signature would be wrong). */
+  def probeDim(embeddings: DataFrame, vecCol: String): Int = {
+    val rows = embeddings.select(size(col(vecCol)).as("d")).head(1)
+    require(rows.nonEmpty, s"cannot derive embedding dim: no rows in input")
+    rows.head.getInt(0)
   }
 }

@@ -22,8 +22,14 @@ object Skew {
    * supplied as (partialAgg, mergeAgg) column pairs over the same name.
    */
   def saltedCount(df: DataFrame, keyCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
+    // retry-safe salt: a pure function of the row's own columns, so a task
+    // retry (even after a repartition) re-derives the identical salt —
+    // unlike monotonically_increasing_id, whose value depends on partition
+    // layout. Fully identical rows share a salt, which only concentrates
+    // load when the hot key's rows are byte-identical duplicates (not the
+    // hot-key case this defends against).
     val salted = df.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
     salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
@@ -53,8 +59,9 @@ object Skew {
    */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // same retry-safe construction as saltedCount: salt from the row itself
     val saltedProbe = probe.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(probe.columns.map(col): _*), lit(saltBuckets)))
     val replicatedBuild = build.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedProbe.join(replicatedBuild, Seq(key, "_salt"), joinType).drop("_salt")

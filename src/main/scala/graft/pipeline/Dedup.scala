@@ -42,29 +42,51 @@ object Dedup {
       .as[Triple]
   }
 
-  /** Undirected pair key columns. Self-pairs (s == o) group with themselves
-   * (reference allows them, deduplication_utils.py:38-43). */
-  private def pairKey: Seq[org.apache.spark.sql.Column] =
-    Seq(least(col("subject"), col("obj")).as("pairA"),
-      greatest(col("subject"), col("obj")).as("pairB"))
-
-  /** One triple per undirected entity pair: explicit > implicit, then
-   * shortest predicate, then lexicographic predicate/subject/object —
-   * the deterministic stand-in for the reference's LLM "most relevant
-   * predicate" choice (deduplication_utils.py:60-76). */
-  def consolidatePairs(triples: Dataset[Triple]): Dataset[Triple] = {
+  /**
+   * Per-undirected-pair predicate consolidation, mirroring the reference's
+   * LLM pair dedup (deduplication_utils.py:12-87): the LLM receives ALL
+   * triples sharing an undirected entity pair (self-pairs allowed,
+   * deduplication_utils.py:38-43) and keeps one triple per SEMANTICALLY
+   * DISTINCT predicate group — dissimilar predicates (e.g. "uses" and
+   * "part of" between the same pair) all survive.
+   *
+   * Deterministic stand-in for the LLM grouping: greedy clustering of the
+   * pair's predicates by Ratcliff/Obershelp >= `threshold` (the same metric
+   * the reference's follow-up fuzzy filter uses, semantic_dedup_utils.py:27),
+   * keeping per cluster the min by (explicit-first, shortest predicate,
+   * lexicographic) — the composite of the LLM's explicit preference and the
+   * fuzzy pass's keep-shortest rule. With `fuzzy = false` the grouping
+   * degrades to exact predicate equality (distinct predicate strings all
+   * survive), matching a run with the fuzzy filter disabled.
+   *
+   * One shuffle on the pair key; groups are tiny (≤ the per-pair relation
+   * count, bounded by the predicate vocabulary), so the typed flatMapGroups
+   * does O(k²) string work on a handful of rows per group.
+   */
+  def consolidatePairs(triples: Dataset[Triple], threshold: Double = 0.85,
+      fuzzy: Boolean = true): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val payload = struct($"subject", $"predicate", $"obj", $"inferred",
-      $"subjectType", $"objectType", $"subjectInferred", $"objectInferred",
-      $"docId", $"lang")
-    val ordKey = struct(inferredPriority.as("p"), length($"predicate").as("len"),
-      $"predicate", $"subject", $"obj")
     triples
-      .groupBy(least($"subject", $"obj").as("pairA"), greatest($"subject", $"obj").as("pairB"))
-      .agg(min_by(payload, ordKey).as("best"))
-      .select($"best.*")
-      .as[Triple]
+      .groupByKey(t => {
+        val a = if (t.subject <= t.obj) t.subject else t.obj
+        val b = if (t.subject <= t.obj) t.obj else t.subject
+        (a, b)
+      })
+      .flatMapGroups { (_: (String, String), it: Iterator[Triple]) =>
+        // pinned total order -> partition-count-invariant clustering
+        val rels = it.toVector.sortBy(t =>
+          (if (t.inferred == PipelineSchema.InferredExplicit) 0 else 1,
+            t.predicate.length, t.predicate, t.subject, t.obj))
+        val clusters = scala.collection.mutable.ArrayBuffer[Triple]()
+        rels.foreach { r =>
+          val dup = clusters.exists(c =>
+            if (fuzzy) RatcliffObershelp.ratio(c.predicate, r.predicate) >= threshold
+            else c.predicate == r.predicate)
+          if (!dup) clusters += r // first of each cluster = the min by the sort
+        }
+        clusters.toVector
+      }
   }
 
   /** Greedy fuzzy predicate clustering per undirected pair; keeps the
@@ -98,9 +120,13 @@ object Dedup {
       }
   }
 
-  /** Full chain as run by the pipeline. */
+  /** Full chain as run by the pipeline. The reference runs the fuzzy filter
+   * as a separate pass after the LLM dedup (orchestrator.py:344-346);
+   * consolidatePairs' greedy clustering already leaves cluster heads that
+   * are pairwise < threshold similar, so the second pass is provably a
+   * no-op and is folded in — one pair-key shuffle instead of two. */
   def all(triples: Dataset[Triple]): Dataset[Triple] =
-    fuzzy(consolidatePairs(exact(triples)))
+    consolidatePairs(exact(triples))
 }
 
 /**

@@ -53,8 +53,11 @@ object Package {
         struct(
           when(col("wikipediaTitle").isNotNull, struct(
             col("wikipediaTitle").as("label"),
-            concat(lit("https://en.wikipedia.org/wiki/"),
-              replace(col("wikipediaTitle"), lit(" "), lit("_"))).as("url"),
+            // emitted URLs go through the reference's sanitizer
+            // (wiki_url_utils.py:3-14) so special-char titles stay valid
+            graft.functions.TextFunctions.sanitizeWikipediaUrl(
+              concat(lit("https://en.wikipedia.org/wiki/"),
+                replace(col("wikipediaTitle"), lit(" "), lit("_")))).as("url"),
             col("wikipediaExtract").as("extract"),
             col("categories"))).as("wikipedia"),
           when(col("wdQid").isNotNull, struct(

@@ -55,8 +55,7 @@ object Pipeline {
     val rawTriples = Relate.triples(docEntities, wikidata)
     val validated =
       if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
-    var deduped = Dedup.consolidatePairs(Dedup.exact(validated))
-    if (cfg.runFuzzyDedup) deduped = Dedup.fuzzy(deduped)
+    val deduped = Dedup.consolidatePairs(Dedup.exact(validated), fuzzy = cfg.runFuzzyDedup)
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
     // materializes concurrently — eager checkpoint so both hit ready blocks
@@ -100,8 +99,8 @@ object Pipeline {
     if (!Materialize.isComplete(s"$outDir/triples")) {
       val docEntities = Link.docEntities(linked).persist()
       docEntities.count()
-      var deduped = Dedup.consolidatePairs(Dedup.exact(Relate.triples(docEntities, wikidata)))
-      if (cfg.runFuzzyDedup) deduped = Dedup.fuzzy(deduped)
+      val deduped = Dedup.consolidatePairs(Dedup.exact(Relate.triples(docEntities, wikidata)),
+        fuzzy = cfg.runFuzzyDedup)
       val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped
       Materialize.writeStage(withKgc.toDF(), "triples", outDir, cfg.buckets,
         resume = true, sortCols = Seq("subject", "predicate", "obj", "inferred", "docId"))

@@ -65,6 +65,27 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.citationSpan($"c", $"q").as("s")).head().getStruct(0)
     assert(span.getInt(0) == 6 && span.getInt(1) == 11)
   }
+
+  test("url sanitizer matches urllib.parse.quote(title, safe=\"_()%-\") semantics") {
+    // expectations computed with Python urllib (wiki_url_utils.py:3-14 parity)
+    val cases = Seq(
+      "https://de.wikipedia.org/wiki/Jürgen Müller"
+        -> "https://de.wikipedia.org/wiki/J%C3%BCrgen_M%C3%BCller",
+      "https://en.wikipedia.org/wiki/Group (mathematics)"
+        -> "https://en.wikipedia.org/wiki/Group_(mathematics)",
+      "https://en.wikipedia.org/wiki/C++"
+        -> "https://en.wikipedia.org/wiki/C%2B%2B",
+      "https://en.wikipedia.org/wiki/50% off"
+        -> "https://en.wikipedia.org/wiki/50%_off",
+      "https://en.wikipedia.org/wiki/a*b~c.d-e"
+        -> "https://en.wikipedia.org/wiki/a%2Ab~c.d-e",
+      "https://en.wikipedia.org/wiki/Aya Nakamura-Boone"
+        -> "https://en.wikipedia.org/wiki/Aya_Nakamura-Boone",
+      "no-wiki-part" -> "no-wiki-part")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.sanitizeWikipediaUrl($"url")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+  }
 }
 
 class SkewSpec extends AnyFunSuite {

@@ -54,15 +54,23 @@ class PropertySpec extends AnyFunSuite {
     d <- Gen.oneOf("d1", "d2", "d3")
   } yield Triple(s, p, o, inf, "T", "T", "explicit", "explicit", d, "java")
 
-  test("dedup chain is idempotent and one triple survives per undirected pair") {
+  test("dedup chain is idempotent; survivors per pair are pairwise-dissimilar predicates") {
     samples(Gen.listOfN(25, tripleGen), 8).foreach { ts =>
       val ds = spark.createDataset(ts)
       val once = Dedup.all(ds).collect().toSet
       val twice = Dedup.all(spark.createDataset(once.toSeq)).collect().toSet
       assert(once == twice)
-      val pairs = once.toSeq.map(t =>
+      // reference semantics (deduplication_utils.py + semantic_dedup_utils.py):
+      // per undirected pair, one survivor per predicate CLUSTER — so surviving
+      // predicates of a pair must be pairwise < 0.85 similar, and distinct
+      once.toSeq.groupBy(t =>
         if (t.subject <= t.obj) (t.subject, t.obj) else (t.obj, t.subject))
-      assert(pairs.distinct.size == pairs.size)
+        .foreach { case (_, rels) =>
+          val preds = rels.map(_.predicate)
+          assert(preds.distinct.size == preds.size)
+          for (Seq(p1, p2) <- preds.combinations(2))
+            assert(RatcliffObershelp.ratio(p1, p2) < 0.85, s"$p1 ~ $p2")
+        }
     }
   }
 

@@ -110,21 +110,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.inferred == "explicit" && out.head.docId == "d2")
   }
 
-  test("pair consolidation keeps one per undirected pair, explicit first then shortest") {
+  test("pair consolidation keeps one triple per semantically distinct predicate group") {
+    // reference semantics (deduplication_utils.py): dissimilar predicates
+    // between the same pair ALL survive; near-identical ones merge
     val in = spark.createDataset(Seq(
       t("A", "part of", "B", "implicit"),
       t("B", "uses", "A", "explicit"),
-      t("A", "collaborates with", "B", "explicit")))
+      t("A", "collaborates with", "B", "explicit"),
+      t("A", "related to", "B", "implicit"),
+      t("B", "related too", "A", "explicit"))) // RO(related to, related too)=0.952
     val out = Dedup.consolidatePairs(in).collect()
-    assert(out.length == 1)
-    assert(out.head.subject == "B" && out.head.predicate == "uses")
+    assert(out.map(_.predicate).sorted.toSeq ==
+      Seq("collaborates with", "part of", "related too", "uses"))
+    // the merged cluster kept the EXPLICIT formulation (LLM preference
+    // composed with keep-shortest: explicit-first dominates)
+    assert(out.find(_.predicate == "related too").get.inferred == "explicit")
+  }
+
+  test("pair consolidation with fuzzy=false groups by exact predicate equality") {
+    val in = spark.createDataset(Seq(
+      t("A", "related to", "B", "implicit"),
+      t("B", "related too", "A", "explicit"),
+      t("B", "uses", "A", "explicit"), t("A", "uses", "B", "implicit")))
+    val out = Dedup.consolidatePairs(in, fuzzy = false).collect()
+    // near-identical predicates both survive; the directional duplicate of
+    // the SAME predicate collapses (explicit kept)
+    assert(out.map(_.predicate).sorted.toSeq == Seq("related to", "related too", "uses"))
+    assert(out.find(_.predicate == "uses").get.inferred == "explicit")
   }
 
   test("self-pair groups with itself") {
     val in = spark.createDataset(Seq(
-      t("A", "references", "A", "explicit"), t("A", "refers to", "A", "explicit")))
+      t("A", "related to", "A", "explicit"), t("A", "related too", "A", "explicit"),
+      t("A", "references", "A", "explicit"))) // RO(references, related to)<0.85
     val out = Dedup.consolidatePairs(in).collect()
-    assert(out.length == 1 && out.head.predicate == "refers to") // shorter wins
+    assert(out.map(_.predicate).sorted.toSeq == Seq("references", "related to"))
   }
 
   test("fuzzy merges near-identical predicates, keeps shortest") {
