@@ -59,14 +59,20 @@ object Run {
     val nDocs = corpus.count()
 
     var result = Pipeline.run(spark, corpus, cfg)
-    // type restriction filter (reference ALLOWED_ENTITY_TYPES != "auto")
+    // type restriction filter (reference ALLOWED_ENTITY_TYPES != "auto"):
+    // applied BEFORE canonicalization so the materialized canonical triples
+    // and the statistics both see the restricted set
     opts.get("allowed-types").foreach { ts =>
       val allowed = ts.split(",").map(_.trim).toSeq
       import org.apache.spark.sql.functions.col
+      val filteredLinked = result.linked.filter(col("entityType").isin(allowed: _*))
+      val filteredTriples = result.triples
+        .filter(col("subjectType").isin(allowed: _*) && col("objectType").isin(allowed: _*))
       result = result.copy(
+        linked = filteredLinked,
         docEntities = result.docEntities.filter(col("entityType").isin(allowed: _*)),
-        triples = result.triples
-          .filter(col("subjectType").isin(allowed: _*) && col("objectType").isin(allowed: _*)))
+        triples = filteredTriples,
+        canonicalTriples = Canonicalize.canonicalTriples(filteredTriples, result.canonMap))
     }
 
     Materialize.writeStage(result.canonicalTriples.toDF(), "triples", outDir, resume = false)
@@ -82,7 +88,8 @@ object Run {
       Compendium.perDocument(result.linked)
         .write.mode("overwrite").json(s"$outDir/compendium")
 
-    val statsJson = Stats.statisticsJson(result.linked, result.docEntities, result.triples)
+    val statsJson = Stats.statisticsJson(result.linked, result.docEntities, result.triples,
+      KB.wikidata(spark), KB.dbpedia(spark))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/statistics.json"), statsJson)
 

@@ -58,7 +58,7 @@ object DedupOps {
    * SparkER-style blocking-key filtering); `dfCap` does that here. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       dfCap: Int = 1000): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n).persist() // three consumers (see minhashDupPairs)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     // inverted-index self-join: pairs stream out of the shingle-partitioned
     // join (an in-row k² array materialization was measured 7x slower).
@@ -102,8 +102,14 @@ object DedupOps {
    * spreads uniformly by construction.
    */
   def lshCandidates(docs: DataFrame, n: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    lshCandidatesFromShingles(shingles(docs, n), bands, rowsPerBand)
+
+  /** LSH candidates over a prebuilt (id, shingle) frame — lets callers that
+   * also verify with exact Jaccard share ONE persisted shingle frame instead
+   * of recomputing the tokenize→gram→distinct subtree three times. */
+  def lshCandidatesFromShingles(sh: DataFrame, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingles(docs, n)
     val wide = minhashWide(sh, bands * rowsPerBand)
     val bandSigs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -124,8 +130,12 @@ object DedupOps {
    * candidate pairs. */
   def minhashDupPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cand = lshCandidates(docs, n, bands, rowsPerBand)
-    val sh = shingles(docs, n)
+    // ONE shingle frame feeds signature building, the size table, and both
+    // verification joins — persisted, because Spark does not dedupe common
+    // plan subtrees and the tokenize→gram→distinct chain dominated the
+    // round-1 profile when recomputed per consumer
+    val sh = shingles(docs, n).persist()
+    val cand = lshCandidatesFromShingles(sh, bands, rowsPerBand)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     // count shared shingles for candidate pairs only (never all pairs)
     val shA = sh.select(col("id").as("a"), col("shingle"))

@@ -27,13 +27,16 @@ object Canonicalize {
 
   /** Connected components on an undirected edge list.
    * @param edges DataFrame with string columns (src, dst)
-   * @return DataFrame (id, component) — component = min node id reachable */
-  /** @param fixedIterations run exactly this many propagation rounds with no
-   * per-round convergence job — correct whenever it is ≥ the graph diameter
-   * (the entity-identity graph has diameter ≤ 3 by construction:
-   * surface—qid—dbpedia chains). Cuts one action per round. */
+   * @return DataFrame (id, component) — component = min node id reachable
+   * @param minIterations skip the per-round convergence checksum for the
+   * first `minIterations - 1` rounds (they cannot have converged when the
+   * expected diameter is known to be ≥ that); from round `minIterations` on,
+   * the checksum runs and the loop ends only on a VERIFIED fixpoint — an
+   * expected-diameter hint can save convergence jobs but can never
+   * under-converge (distance-(d+1) chains on real data — e.g. shared
+   * surfaces bridging two qids — still propagate to completion). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      checkpointEvery: Int = 3, fixedIterations: Option[Int] = None): DataFrame = {
+      checkpointEvery: Int = 3, minIterations: Int = 1): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // materialize the (possibly corpus-derived) edge set ONCE before
@@ -55,8 +58,7 @@ object Canonicalize {
     // sum(xxhash64(id, component)) means a fixpoint — one cheap aggregate
     // per iteration instead of a join against the previous labels.
     var prevChecksum: Option[String] = None
-    val limit = fixedIterations.getOrElse(maxIter)
-    while (iter < limit && !converged) {
+    while (iter < maxIter && !converged) {
       val itT0 = System.nanoTime()
       // propagate: min component among neighbors (and self)
       val propagated = sym
@@ -67,7 +69,7 @@ object Canonicalize {
       val next0 = propagated.withColumnRenamed("newComponent", "component")
       val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
         else next0).persist()
-      if (fixedIterations.isEmpty) {
+      if (iter + 1 >= minIterations) {
         // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI
         val checksum = next.agg(sum(xxhash64($"id", $"component").cast("decimal(38,0)")))
           .head().getDecimal(0).toString
@@ -105,8 +107,11 @@ object Canonicalize {
   def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
-    val cc = connectedComponents(identityEdges(linked, dbpedia),
-      fixedIterations = Some(3)) // surface—qid—dbpedia: diameter ≤ 3
+    // surface—qid—dbpedia chains make diameter 3 the EXPECTED case, so the
+    // first two convergence checksums are skipped — but convergence is still
+    // verified, because shared surfaces / sameAs bridges on real data can
+    // chain components past the synthetic diameter (n—q1—d—q2 is distance 4)
+    val cc = connectedComponents(identityEdges(linked, dbpedia), minIterations = 3)
     linked.select($"entityName").distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
       .join(cc, $"nodeId" === cc("id"), "left")

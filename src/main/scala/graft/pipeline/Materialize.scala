@@ -32,18 +32,53 @@ object Materialize {
     base.withColumn("bucket", pmod(hash(col("repo")), lit(buckets)))
   }
 
-  /** Per-(lang,bucket) lineage rows: row count + sha256 of the sorted row
-   * set. collect_list per bucket is fine at fixture scale; at 10^12 rows the
-   * same contract is kept with a sortWithinPartitions + mapPartitions
-   * streaming digest (one pass, no per-group array). */
+  /**
+   * Per-(lang,bucket) lineage rows: row count + sha256 of the sorted row set.
+   *
+   * STREAMING digest: rows are hash-partitioned on exactly (lang, bucket) —
+   * so every row of a group lands in one partition — sorted within the
+   * partition by (lang, bucket, r), and folded into a SHA-256 one row at a
+   * time inside mapPartitions. Constant memory per task regardless of bucket
+   * size (the previous collect_list formulation materialized a whole bucket
+   * — ~1.5 TB at 10^12-row scale — as one in-memory array). The digest bytes
+   * are identical to sha2(concat_ws("\n", sort_array(collect_list(r)))) —
+   * rows joined by '\n' in binary UTF8 order — which LineageDigestSpec pins
+   * against the legacy aggregate formulation at fixture scale.
+   */
   def lineage(df: DataFrame, stage: String, buckets: Int = DefaultBuckets,
       sortCols: Seq[String] = tripleOrder): DataFrame = {
-    val rowStr = concat_ws("", sortCols.map(col): _*)
-    withBucket(df, buckets)
-      .select(col("lang"), col("bucket"), rowStr.as("r"))
-      .groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("rowCount"),
-        sha2(concat_ws("\n", sort_array(collect_list(col("r")))), 256).as("sha256"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowStr = concat_ws("\u0001", sortCols.map(col): _*)
+    val keyed = withBucket(df, buckets)
+      .select(col("lang"), col("bucket").cast("int").as("bucket"), rowStr.as("r"))
+      .repartition(col("lang"), col("bucket"))
+      .sortWithinPartitions(col("lang"), col("bucket"), col("r"))
+      .as[(String, Int, String)]
+    keyed.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer[(String, Int, Long, String)]()
+      var curLang: String = null
+      var curBucket: Int = 0
+      var md: java.security.MessageDigest = null
+      var n = 0L
+      var open = false
+      def flush(): Unit = if (open) {
+        out += ((curLang, curBucket, n, md.digest().map(b => f"${b & 0xff}%02x").mkString))
+      }
+      it.foreach { case (lang, bucket, r) =>
+        if (!open || lang != curLang || bucket != curBucket) {
+          flush()
+          curLang = lang; curBucket = bucket; open = true
+          md = java.security.MessageDigest.getInstance("SHA-256")
+          n = 0L
+        }
+        if (n > 0) md.update('\n'.toByte)
+        md.update(r.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        n += 1
+      }
+      flush()
+      out.iterator
+    }.toDF("lang", "bucket", "rowCount", "sha256")
       .withColumn("stage", lit(stage))
   }
 

@@ -1,13 +1,20 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
- * Stage 6: the statistics block (reference: orchestrator.py:483-591) as plain
- * DataFrame aggregations. Every aggregation here gets map-side partial
- * aggregation for free; the top-10s plan as TakeOrderedAndProject (true
- * top-k, no full sort).
+ * Stage 6: the FULL statistics block (reference: orchestrator.py:483-591;
+ * output contract README.md:98-141) as plain DataFrame aggregations:
+ * total_entities, types_distribution, per-source linked counts+percent,
+ * top_wikipedia_categories (maintenance-filtered), top_wikidata_types /
+ * part_of / has_parts, top_dbpedia_subjects / part_of / has_parts, and
+ * entity_connections.
+ *
+ * Every aggregation gets map-side partial aggregation for free; all top-10s
+ * plan as TakeOrderedAndProject (true top-k, no full sort); the KB property
+ * joins are broadcast (dimension-sized build sides). Nothing here shuffles
+ * the corpus more than once per statistic.
  */
 object Stats {
 
@@ -16,13 +23,40 @@ object Stats {
     docEntities.groupBy(col("entityType")).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("entityType"))
 
-  /** linked.{source} count + percent (orchestrator.py:494-506). */
-  def linkedShare(docEntities: DataFrame): DataFrame =
-    docEntities.agg(
-      count(lit(1)).as("total_entities"),
-      sum(when(col("qid").isNotNull, 1).otherwise(0)).as("linked_count"),
-      round(sum(when(col("qid").isNotNull, 1).otherwise(0)) * 100.0 / count(lit(1)), 2)
-        .as("linked_percent"))
+  /**
+   * linked.{wikipedia,wikidata,dbpedia} count + percent in ONE pass
+   * (orchestrator.py:494-506). Source presence mirrors the reference's
+   * per-source blocks: wikipedia = the alias-index hit (qid attached),
+   * wikidata = the qid resolves in the Wikidata property dim, dbpedia = the
+   * qid bridges into the DBpedia property dim. Both dims join broadcast.
+   */
+  def linkedShares(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
+      dbpedia: Dataset[KbDbpedia]): DataFrame = {
+    val wd = broadcast(wikidata.select(col("qid").as("wdQid")).distinct())
+    val db = broadcast(dbpedia.where(col("qid").isNotNull)
+      .select(col("qid").as("dbQid")).distinct())
+    def pct(c: Column) = round(c * 100.0 / count(lit(1)), 2)
+    docEntities
+      .join(wd, docEntities("qid") === wd("wdQid"), "left")
+      .join(db, docEntities("qid") === db("dbQid"), "left")
+      .agg(
+        count(lit(1)).as("total_entities"),
+        sum(when(col("qid").isNotNull, 1).otherwise(0)).as("wikipedia_count"),
+        pct(sum(when(col("qid").isNotNull, 1).otherwise(0))).as("wikipedia_percent"),
+        sum(when(col("wdQid").isNotNull, 1).otherwise(0)).as("wikidata_count"),
+        pct(sum(when(col("wdQid").isNotNull, 1).otherwise(0))).as("wikidata_percent"),
+        sum(when(col("dbQid").isNotNull, 1).otherwise(0)).as("dbpedia_count"),
+        pct(sum(when(col("dbQid").isNotNull, 1).otherwise(0))).as("dbpedia_percent"))
+  }
+
+  /** Shared explode → count → top-k shape for every "top_*" statistic
+   * (orchestrator.py:508-579). Ties are pinned lexicographic (the reference
+   * inherits dict order — nondeterministic; we fix a total order). */
+  def topByArray(df: DataFrame, arr: Column, outName: String, k: Int = 10): DataFrame =
+    df.select(explode(arr).as(outName))
+      .groupBy(col(outName)).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc(outName))
+      .limit(k)
 
   /** Top-k category list with maintenance-keyword filtering
    * (orchestrator.py:508-515 + category_utils.py:160-165). The keyword test
@@ -37,27 +71,45 @@ object Stats {
       .limit(k)
   }
 
-  /** The full statistics block as ONE JSON document (reference R6 shape,
-   * orchestrator.py:483-591): total_entities, types_distribution, linked
-   * share, top categories, entity_connections. Assembled from the
-   * already-aggregated small tables — a driver-side collect of
-   * dimension-sized results, not a corpus-scale operation. */
-  def statisticsJson(linked: Dataset[LinkedEntity], docEntities: DataFrame,
-      triples: Dataset[Triple], topK: Int = 10): String = {
-    val spark = linked.sparkSession
-    val types = typesDistribution(docEntities).collect()
-      .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""").mkString("{", ", ", "}")
-    val share = linkedShare(docEntities).collect().head
-    val cats = topCategories(linked, topK).collect()
-      .map(r => s"""{"category": "${r.getString(0)}", "count": ${r.getLong(1)}}""")
-      .mkString("[", ", ", "]")
-    val conns = entityConnections(triples).limit(topK).collect()
-      .map(r => s"""{"entity": "${r.getString(0)}", "connections": ${r.getLong(1)}}""")
-      .mkString("[", ", ", "]")
-    s"""{"total_entities": ${share.getLong(0)}, "types_distribution": $types, """ +
-      s""""linked": {"wikipedia": {"count": ${share.getLong(1)}, "percent": ${share.getDouble(2)}}}, """ +
-      s""""top_wikipedia_categories": $cats, "entity_connections": $conns}"""
-  }
+  /** docEntities enriched with the Wikidata property arrays (broadcast join
+   * on qid); feeds the three top_wikidata_* statistics. */
+  private def withWikidata(docEntities: DataFrame, wikidata: Dataset[KbWikidata]): DataFrame =
+    docEntities.join(
+      broadcast(wikidata.select(col("qid"), col("instanceOf"),
+        col("partOf").as("wdPartOf"), col("hasParts").as("wdHasParts"))),
+      Seq("qid"))
+
+  /** top_wikidata_types over sources.wikidata.types = instanceOf
+   * (orchestrator.py:517-523). */
+  def topWikidataTypes(docEntities: DataFrame, wikidata: Dataset[KbWikidata], k: Int = 10): DataFrame =
+    topByArray(withWikidata(docEntities, wikidata), col("instanceOf"), "type", k)
+
+  /** top_wikidata_part_of (orchestrator.py:525-535). */
+  def topWikidataPartOf(docEntities: DataFrame, wikidata: Dataset[KbWikidata], k: Int = 10): DataFrame =
+    topByArray(withWikidata(docEntities, wikidata), col("wdPartOf"), "part_of", k)
+
+  /** top_wikidata_has_parts (orchestrator.py:537-547). */
+  def topWikidataHasParts(docEntities: DataFrame, wikidata: Dataset[KbWikidata], k: Int = 10): DataFrame =
+    topByArray(withWikidata(docEntities, wikidata), col("wdHasParts"), "has_parts", k)
+
+  private def withDbpedia(docEntities: DataFrame, dbpedia: Dataset[KbDbpedia]): DataFrame =
+    docEntities.join(
+      broadcast(dbpedia.where(col("qid").isNotNull)
+        .select(col("qid"), col("subjects"),
+          col("partOf").as("dbPartOf"), col("hasParts").as("dbHasParts"))),
+      Seq("qid"))
+
+  /** top_dbpedia_subjects (orchestrator.py:549-556). */
+  def topDbpediaSubjects(docEntities: DataFrame, dbpedia: Dataset[KbDbpedia], k: Int = 10): DataFrame =
+    topByArray(withDbpedia(docEntities, dbpedia), col("subjects"), "subject", k)
+
+  /** top_dbpedia_part_of (orchestrator.py:558-568). */
+  def topDbpediaPartOf(docEntities: DataFrame, dbpedia: Dataset[KbDbpedia], k: Int = 10): DataFrame =
+    topByArray(withDbpedia(docEntities, dbpedia), col("dbPartOf"), "part_of", k)
+
+  /** top_dbpedia_has_parts (orchestrator.py:570-579). */
+  def topDbpediaHasParts(docEntities: DataFrame, dbpedia: Dataset[KbDbpedia], k: Int = 10): DataFrame =
+    topByArray(withDbpedia(docEntities, dbpedia), col("dbHasParts"), "has_parts", k)
 
   /** entity_connections: distinct-neighbor degree over the undirected triple
    * edge list (orchestrator.py:581-590). Exact countDistinct for fixture
@@ -70,5 +122,50 @@ object Stats {
       .groupBy($"entity")
       .agg(countDistinct($"neighbor").as("connections"))
       .orderBy(desc("connections"), asc("entity"))
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def topJson(rows: Array[org.apache.spark.sql.Row], key: String): String =
+    rows.map(r => s"""{"$key": "${esc(r.getString(0))}", "count": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+
+  /**
+   * The full statistics block as ONE JSON document with the COMPLETE R6 key
+   * set of the reference (orchestrator.py:483-591; README.md:110-129):
+   * total_entities, types_distribution, linked.{wikipedia,wikidata,dbpedia},
+   * top_wikipedia_categories, top_wikidata_types, entity_connections,
+   * top_wikidata_part_of, top_wikidata_has_parts, top_dbpedia_part_of,
+   * top_dbpedia_has_parts, top_dbpedia_subjects.
+   *
+   * Assembled from already-aggregated small tables — driver-side collects of
+   * dimension-sized results, never a corpus-scale collect. The reference
+   * emits entity_connections UNBOUNDED (all entities); `connectionsLimit`
+   * defaults to that for parity but callers at scale should cap it.
+   */
+  def statisticsJson(linked: Dataset[LinkedEntity], docEntities: DataFrame,
+      triples: Dataset[Triple], wikidata: Dataset[KbWikidata],
+      dbpedia: Dataset[KbDbpedia], topK: Int = 10,
+      connectionsLimit: Int = Int.MaxValue): String = {
+    val types = typesDistribution(docEntities).collect()
+      .map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""").mkString("{", ", ", "}")
+    val share = linkedShares(docEntities, wikidata, dbpedia).collect().head
+    def linkedBlock(src: String) =
+      s""""$src": {"count": ${share.getAs[Long](s"${src}_count")}, "percent": ${share.getAs[Double](s"${src}_percent")}}"""
+    val conns = entityConnections(triples).limit(connectionsLimit).collect()
+      .map(r => s"""{"entity": "${esc(r.getString(0))}", "count": ${r.getLong(1)}}""")
+      .mkString("[", ", ", "]")
+    s"""{"total_entities": ${share.getAs[Long]("total_entities")}, """ +
+      s""""types_distribution": $types, """ +
+      s""""linked": {${Seq("wikipedia", "wikidata", "dbpedia").map(linkedBlock).mkString(", ")}}, """ +
+      s""""top_wikipedia_categories": ${topJson(topCategories(linked, topK).collect(), "category")}, """ +
+      s""""top_wikidata_types": ${topJson(topWikidataTypes(docEntities, wikidata, topK).collect(), "type")}, """ +
+      s""""entity_connections": $conns, """ +
+      s""""top_wikidata_part_of": ${topJson(topWikidataPartOf(docEntities, wikidata, topK).collect(), "part_of")}, """ +
+      s""""top_wikidata_has_parts": ${topJson(topWikidataHasParts(docEntities, wikidata, topK).collect(), "has_parts")}, """ +
+      s""""top_dbpedia_part_of": ${topJson(topDbpediaPartOf(docEntities, dbpedia, topK).collect(), "part_of")}, """ +
+      s""""top_dbpedia_has_parts": ${topJson(topDbpediaHasParts(docEntities, dbpedia, topK).collect(), "has_parts")}, """ +
+      s""""top_dbpedia_subjects": ${topJson(topDbpediaSubjects(docEntities, dbpedia, topK).collect(), "subject")}}"""
   }
 }

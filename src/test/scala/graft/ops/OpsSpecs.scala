@@ -145,6 +145,46 @@ class SimOpsSpec extends AnyFunSuite {
   }
 }
 
+class SimilarityJoinSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import org.apache.spark.sql.DataFrame
+
+  /** brute-force within-block RO join — the reference semantics the blocked
+   * plan must reproduce exactly. */
+  private def brute(names: DataFrame, threshold: Double): Set[(Long, Long, Double)] =
+    names.as("l").join(names.as("r"),
+        col("l.p_brand") === col("r.p_brand") && col("l.p_partkey") < col("r.p_partkey"))
+      .withColumn("sim",
+        graft.functions.GraftFunctions.ro_sim(col("l.p_name"), col("r.p_name")))
+      .filter(col("sim") >= threshold)
+      .select(col("l.p_partkey").as("a"), col("r.p_partkey").as("b"),
+        round(col("sim"), 4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("token-blocked RO join equals brute force within-brand at two SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val part = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val blocked = SimilarityJoin.roSelfJoin(part, "p_partkey", "p_name", Seq("p_brand"), 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = brute(part, 0.8)
+      assert(blocked == want, s"$dir: ${blocked.size} vs brute ${want.size}")
+      assert(want.nonEmpty, s"$dir produced an empty oracle — test is vacuous")
+    }
+  }
+
+  test("df cap drops only capped-token-dependent pairs (lossless at default)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma", "B1"), (2L, "alpha beta gamme", "B1"),
+      (3L, "zeta eta theta", "B1"), (4L, "totally different", "B2"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val out = SimilarityJoin.roSelfJoin(rows, "p_partkey", "p_name", Seq("p_brand"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+}
+
 class MediaOpsSpec extends AnyFunSuite {
   import graft.pipeline.SparkHolder.spark
 

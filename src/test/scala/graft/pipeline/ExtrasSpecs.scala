@@ -165,11 +165,27 @@ class TrainingCompendiumSpec extends AnyFunSuite {
     assert(numbered.head.startsWith("(1) "))
   }
 
-  test("statistics JSON block has the reference keys") {
-    val json = Stats.statisticsJson(result.linked, result.docEntities, result.triples)
+  test("statistics JSON block has the FULL reference R6 key set") {
+    val json = Stats.statisticsJson(result.linked, result.docEntities, result.triples,
+      KB.wikidata(spark), KB.dbpedia(spark))
+    // the complete key set of orchestrator.py:483-591 / README.md:110-129
     Seq("total_entities", "types_distribution", "linked", "top_wikipedia_categories",
-      "entity_connections").foreach(k => assert(json.contains(k), k))
+      "top_wikidata_types", "entity_connections", "top_wikidata_part_of",
+      "top_wikidata_has_parts", "top_dbpedia_part_of", "top_dbpedia_has_parts",
+      "top_dbpedia_subjects").foreach(k => assert(json.contains("\"" + k + "\""), k))
+    // per-source linked blocks with count+percent
+    Seq("wikipedia", "wikidata", "dbpedia").foreach(s =>
+      assert(json.contains("\"" + s + "\": {\"count\": "), s))
     // must be parseable JSON
-    assert(spark.read.json(Seq(json).toDS()).count() == 1)
+    val parsed = spark.read.json(Seq(json).toDS())
+    assert(parsed.count() == 1)
+    // value sanity: the synthetic KB links every entity to all three sources
+    val row = parsed.select($"linked.wikipedia.percent", $"linked.wikidata.percent",
+      $"linked.dbpedia.percent").head()
+    assert(row.getDouble(0) == 100.0 && row.getDouble(1) == 100.0 && row.getDouble(2) == 100.0)
+    // top_wikidata_types mirrors instanceOf values of linked entities
+    val ty = parsed.select(explode($"top_wikidata_types").as("t"))
+      .select($"t.type").collect().map(_.getString(0))
+    assert(ty.contains("programming language") || ty.contains("software library"))
   }
 }

@@ -52,3 +52,40 @@ class ResumeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
+
+/** The streaming mapPartitions digest must produce byte-identical lineage to
+ * the legacy collect_list aggregate formulation (same '\n'-joined sorted row
+ * set per (lang, bucket)), at any parallelism. */
+class LineageDigestSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import org.apache.spark.sql.functions._
+
+  test("streaming digest equals the collect_list formulation") {
+    val corpus = Corpus.generate(spark, 150L, 12, 43L, 5)
+    val result = Pipeline.run(spark, corpus)
+    val df = result.canonicalTriples.toDF()
+    val streaming = Materialize.lineage(df, "t", buckets = 8)
+      .select("lang", "bucket", "rowCount", "sha256").collect().map(_.toSeq).toSet
+
+    // legacy formulation, inline (the implementation this replaced)
+    val rowStr = concat_ws("\u0001", Materialize.tripleOrder.map(col): _*)
+    val legacy = Materialize.withBucket(df, 8)
+      .select(col("lang"), col("bucket").cast("int").as("bucket"), rowStr.as("r"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("rowCount"),
+        sha2(concat_ws("\n", sort_array(collect_list(col("r")))), 256).as("sha256"))
+      .select("lang", "bucket", "rowCount", "sha256").collect().map(_.toSeq).toSet
+
+    assert(streaming == legacy)
+    assert(streaming.nonEmpty)
+
+    // parallelism-invariance of the streaming form itself
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val low = Materialize.lineage(df, "t", buckets = 8)
+        .select("lang", "bucket", "rowCount", "sha256").collect().map(_.toSeq).toSet
+      assert(low == streaming)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}

@@ -193,6 +193,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val e = Seq("a" -> "b", "b" -> "c", "d" -> "c")
     assert(cc(e: _*) == cc(e.reverse: _*))
   }
+
+  test("minIterations hint never under-converges on chains longer than the hint") {
+    import SparkHolder.spark.implicits._
+    // distance-5 chain (the n—q1—d—q2 shape the synthetic KB never builds,
+    // but real data with shared surfaces / sameAs bridges does)
+    val edges = Seq("n:x" -> "q:1", "q:1" -> "d:r", "d:r" -> "q:2",
+      "q:2" -> "n:y", "n:y" -> "q:3").toDF("src", "dst")
+    val m = Canonicalize.connectedComponents(edges, minIterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.values.toSet == Set("d:r")) // one component, min node id
+    assert(m.size == 6)
+  }
 }
 
 /** Local alias so specs share the single session. */
