@@ -18,6 +18,11 @@ import graft.pipeline._
  *   [--training]                  write entity+relation JSONL (openai_service.py:133-209)
  *   [--compendium]                write per-doc compendium (compendium_service.py:9-89)
  *   [--allowed-types=A,B]         restrict entity types (prompt_utils.py:4-13)
+ *   [--generate --topics=T1,T2]   generate mode (main.py generate flow →
+ *                                 generator.py:78-191): KB-driven pseudo-corpus
+ *                                 per topic, everything inferred=implicit
+ *   [--infer-implicit]            ENABLE_ENTITY_INFERENCE (entity_inference.py)
+ *   [--max-entities=N]            generate-mode MAX_ENTITIES (generator.py:113)
  */
 object Run {
 
@@ -48,11 +53,22 @@ object Run {
       chunkSize = opts.get("chunk-size").map(_.toInt).getOrElse(Detect.DefaultChunkSize),
       chunkOverlap = opts.get("overlap").map(_.toInt).getOrElse(Detect.DefaultOverlap),
       kgcRounds = opts.get("kgc-rounds").map(_.toInt).getOrElse(0),
-      runFuzzyDedup = !opts.contains("no-fuzzy"))
+      runFuzzyDedup = !opts.contains("no-fuzzy"),
+      generateMode = opts.contains("generate"),
+      inferImplicit = opts.contains("infer-implicit"))
+
+    val topics: Option[org.apache.spark.sql.DataFrame] =
+      if (opts.contains("generate")) {
+        val ts = opts.getOrElse("topics", "stream processing with lumina")
+          .split(",").map(_.trim).zipWithIndex.map { case (t, i) => (i.toString, t) }
+        Some(ts.toSeq.toDF("topicId", "topic"))
+      } else None
 
     val t0 = System.nanoTime()
-    val corpus = opts.get("corpus")
-      .map(dir => spark.read.parquet(dir).as[SourceFile])
+    val corpus = topics
+      .map(ts => Generate.corpusFromTopics(ts, KB.labels(spark),
+        maxEntities = opts.get("max-entities").map(_.toInt).getOrElse(10)))
+      .orElse(opts.get("corpus").map(dir => spark.read.parquet(dir).as[SourceFile]))
       .getOrElse(Corpus.generate(spark, numFiles, numRepos = 200, seed = 42L,
         partitions = cores.toInt * 2))
       .persist()
@@ -79,8 +95,14 @@ object Run {
     val nTriples = result.triples.count()
 
     if (opts.contains("training")) {
-      TrainingData.write(TrainingData.entityExamples(corpus, result.docEntities),
-        s"$outDir/training_entities")
+      topics match {
+        case Some(ts) =>
+          TrainingData.write(TrainingData.generationExamples(ts, result.docEntities),
+            s"$outDir/training_generation")
+        case None =>
+          TrainingData.write(TrainingData.entityExamples(corpus, result.docEntities),
+            s"$outDir/training_entities")
+      }
       TrainingData.write(TrainingData.relationExamples(corpus, result.triples),
         s"$outDir/training_relations")
     }
@@ -89,7 +111,7 @@ object Run {
         .write.mode("overwrite").json(s"$outDir/compendium")
 
     val statsJson = Stats.statisticsJson(result.linked, result.docEntities, result.triples,
-      KB.wikidata(spark), KB.dbpedia(spark))
+      KB.wikidata(spark), KB.dbpedia(spark), Some(KB.dbpediaLookup(spark)))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/statistics.json"), statsJson)
 

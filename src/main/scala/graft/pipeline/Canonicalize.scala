@@ -86,8 +86,13 @@ object Canonicalize {
     labels
   }
 
-  /** Identity edges from the linked-entity table + KB sameAs bridges. */
-  def identityEdges(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
+  /** Identity edges from the linked-entity table + KB sameAs bridges.
+   * @param dbpediaLookup optional label-keyed Lookup fallback table
+   * (KB.dbpediaLookup; reference dbpedia_service.py:103-197): entities whose
+   * qid has NO row in the qid-keyed dim get a surface→dbpedia edge via their
+   * normalized label, so fallback-linked entities canonicalize too. */
+  def identityEdges(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia],
+      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
     val surfaceToQid = linked
@@ -99,19 +104,33 @@ object Canonicalize {
       .select(concat(lit("q:"), $"qid").as("src"),
         concat(lit("d:"), $"resourceUri").as("dst"))
       .distinct()
-    surfaceToQid.unionByName(qidToDbp)
+    val fallbackEdges = dbpediaLookup match {
+      case Some(lookup) =>
+        // entities whose qid misses the dim → label-keyed fallback join
+        val misses = linked.filter($"qid".isNotNull)
+          .join(broadcast(dbpedia.select($"qid")), Seq("qid"), "left_anti")
+          .select(lower($"entityName").as("labelNorm"),
+            concat(lit("n:"), lower($"entityName")).as("src"))
+          .distinct()
+        misses.join(broadcast(lookup.select($"labelNorm", $"resourceUri")), Seq("labelNorm"))
+          .select($"src", concat(lit("d:"), $"resourceUri").as("dst"))
+      case None => spark.emptyDataFrame.select(lit("").as("src"), lit("").as("dst")).limit(0)
+    }
+    surfaceToQid.unionByName(qidToDbp).unionByName(fallbackEdges)
   }
 
   /** Map entityName → canonical component id (falls back to the surface node
    * id for unlinked entities). Result columns: (entityName, canonicalId). */
-  def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia]): DataFrame = {
+  def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia],
+      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
     // surface—qid—dbpedia chains make diameter 3 the EXPECTED case, so the
     // first two convergence checksums are skipped — but convergence is still
     // verified, because shared surfaces / sameAs bridges on real data can
     // chain components past the synthetic diameter (n—q1—d—q2 is distance 4)
-    val cc = connectedComponents(identityEdges(linked, dbpedia), minIterations = 3)
+    val cc = connectedComponents(identityEdges(linked, dbpedia, dbpediaLookup),
+      minIterations = 3)
     linked.select($"entityName").distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
       .join(cc, $"nodeId" === cc("id"), "left")

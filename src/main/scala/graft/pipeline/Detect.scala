@@ -52,10 +52,15 @@ object Detect {
   }
 
   /** Trie pass per chunk; offsets re-based to document coordinates. Narrow
-   * (no shuffle): a pure mapPartitions over the chunk rows. */
-  def rawMentions(chunks: Dataset[Chunk], gaz: Broadcast[Gazetteer]): Dataset[Mention] = {
+   * (no shuffle): a pure mapPartitions over the chunk rows.
+   * @param inferred flag stamped on every mention — explicit for extract
+   * mode, implicit for generate mode (generator.py:175 marks every
+   * generated entity implicit). */
+  def rawMentions(chunks: Dataset[Chunk], gaz: Broadcast[Gazetteer],
+      inferred: String = PipelineSchema.InferredExplicit): Dataset[Mention] = {
     val spark = chunks.sparkSession
     import spark.implicits._
+    val flag = inferred
     chunks.mapPartitions { it =>
       val g = gaz.value
       it.flatMap { c =>
@@ -67,7 +72,7 @@ object Detect {
             aliasNorm = m.pattern,
             citationStart = c.chunkStart + m.start,
             citationEnd = c.chunkStart + m.end,
-            inferred = PipelineSchema.InferredExplicit)
+            inferred = flag)
         }
       }
     }

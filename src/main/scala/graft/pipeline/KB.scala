@@ -47,6 +47,11 @@ object KB {
 
   def wikidataRows: Seq[KbWikidata] =
     EntityUniverse.all.map { e =>
+      // R7 detail claims, deterministic functions of the (synthetic) qid —
+      // same role as P569/P570/P571/P625/P227 in the reference
+      val num = e.qid.stripPrefix("Q").toLong
+      val isPerson = e.entityType == "PERSON"
+      val isOrg = e.entityType == "ORGANIZATION"
       KbWikidata(
         qid = e.qid,
         label = e.title,
@@ -57,11 +62,46 @@ object KB {
         partOf = e.partOf,
         hasParts = EntityUniverse.all.filter(_.partOf.contains(e.title)).map(_.title),
         memberOf = e.memberOf,
-        officialWebsite = s"https://example.org/${e.title.toLowerCase.replace(' ', '-')}")
+        officialWebsite = s"https://example.org/${e.title.toLowerCase.replace(' ', '-')}",
+        coordinates = if (isOrg) Coordinates(35.0 + (num % 100) * 0.3,
+          -120.0 + (num % 180) * 0.7) else null,
+        birthDate = if (isPerson)
+          f"+19${50 + num % 40}%02d-${1 + num % 12}%02d-${1 + num % 28}%02dT00:00:00Z"
+          else null,
+        deathDate = if (isPerson && num % 3 == 0)
+          f"+20${num % 20}%02d-${1 + num % 12}%02d-${1 + num % 28}%02dT00:00:00Z"
+          else null,
+        foundingDate = if (isOrg) s"+${1950 + num % 70}-01-01T00:00:00Z" else null,
+        gndId = if (isPerson || isOrg) s"1$num-${num % 10}" else null)
     }
 
-  def dbpediaRows: Seq[KbDbpedia] =
+  /** ADDITIONAL_DETAILS dim (wikipedia_service.py:514-603): infobox map,
+   * see-also neighbors, main image — derived from the entity universe. */
+  def wikipediaDetailsRows: Seq[KbWikipediaDetails] =
     EntityUniverse.all.map { e =>
+      KbWikipediaDetails(
+        title = e.title,
+        infobox = Map(
+          "type" -> e.entityType.toLowerCase,
+          "instance_of" -> e.instanceOf.mkString(", ")) ++
+          (if (e.partOf.nonEmpty) Map("part_of" -> e.partOf.mkString(", ")) else Map.empty),
+        seeAlso = (e.partOf ++ e.memberOf ++
+          EntityUniverse.all.filter(_.partOf.contains(e.title)).map(_.title)).distinct,
+        image = s"https://example.org/img/${e.title.replace(' ', '_')}.png")
+    }
+
+  def wikipediaDetails(spark: SparkSession): Dataset[KbWikipediaDetails] = {
+    import spark.implicits._
+    spark.createDataset(wikipediaDetailsRows)
+  }
+
+  /** Entities with NO row in the qid-keyed DBpedia dim — reachable only via
+   * the label-keyed Lookup fallback (dbpedia_service.py:103-197). Models the
+   * real-world dim gap the reference's fallback exists for. */
+  val dbpediaLookupOnly: Set[String] = Set("Q9003") // Veldt
+
+  def dbpediaRows: Seq[KbDbpedia] =
+    EntityUniverse.all.filterNot(e => dbpediaLookupOnly(e.qid)).map { e =>
       KbDbpedia(
         resourceUri = s"http://dbpedia.example/resource/${e.title.replace(' ', '_')}",
         qid = e.qid,
@@ -96,5 +136,51 @@ object KB {
   def dbpedia(spark: SparkSession): Dataset[KbDbpedia] = {
     import spark.implicits._
     spark.createDataset(dbpediaRows)
+  }
+
+  // ---- DBpedia Lookup fallback source (dbpedia_service.py:103-197) ----
+  // The reference's fallback queries the Lookup API by entity label and gets
+  // TWO partial answers (JSON and XML endpoints), merged per-field by URI
+  // with XML taking precedence (dbpedia_service.py:152-170). The two raw
+  // variants below are deliberately partial/overlapping so the merge is real.
+
+  def dbpediaLookupJson(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    EntityUniverse.all.filter(e => dbpediaLookupOnly(e.qid)).map { e =>
+      (EntityUniverse.norm(e.title),
+        s"http://dbpedia.example/resource/${e.title.replace(' ', '_')}",
+        s"${e.title} — lookup abstract (json).",
+        null.asInstanceOf[String])
+    }.toDF("labelNorm", "resourceUri", "abstractText", "homepage")
+  }
+
+  def dbpediaLookupXml(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    EntityUniverse.all.filter(e => dbpediaLookupOnly(e.qid)).map { e =>
+      (EntityUniverse.norm(e.title),
+        s"http://dbpedia.example/resource/${e.title.replace(' ', '_')}",
+        null.asInstanceOf[String],
+        s"https://example.org/${e.title.toLowerCase}")
+    }.toDF("labelNorm", "resourceUri", "abstractText", "homepage")
+  }
+
+  /** Merged label-keyed Lookup table: full-outer join by URI + per-column
+   * coalesce with the XML variant overwriting the JSON one — the exact merge
+   * shape of dbpedia_service.py:152-170 (oracled generically as
+   * q_full_outer_merge). Dimension-sized; consumers broadcast it. */
+  def dbpediaLookup(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val json = dbpediaLookupJson(spark).select(
+      col("resourceUri"), col("labelNorm").as("jLabel"),
+      col("abstractText").as("jAbstract"), col("homepage").as("jHomepage"))
+    val xml = dbpediaLookupXml(spark).select(
+      col("resourceUri"), col("labelNorm").as("xLabel"),
+      col("abstractText").as("xAbstract"), col("homepage").as("xHomepage"))
+    json.join(xml, Seq("resourceUri"), "full_outer")
+      .select(
+        coalesce(col("xLabel"), col("jLabel")).as("labelNorm"),
+        col("resourceUri"),
+        coalesce(col("xAbstract"), col("jAbstract")).as("abstractText"),
+        coalesce(col("xHomepage"), col("jHomepage")).as("homepage"))
   }
 }

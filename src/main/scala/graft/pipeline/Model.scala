@@ -62,7 +62,15 @@ final case class KbLabel(
     extract: String,
     categories: Seq[String])
 
-/** Wikidata-property fixture row (reference R7: wikidata_service.py:386-673). */
+/** Geographic coordinates (reference R7 `coordinates{lat,lon}`,
+ * wikidata_service.py:496-499). */
+final case class Coordinates(latitude: Double, longitude: Double)
+
+/** Wikidata-property fixture row (reference R7: wikidata_service.py:386-673).
+ * Time fields carry the RAW Wikidata form ("+YYYY-MM-DDT00:00:00Z") — the
+ * packaging stage trims them with TextFunctions.trimWikidataTime, exactly
+ * where the reference applies its format_wikidata_date
+ * (wikidata_service.py:506-513). Nullable = absent claim. */
 final case class KbWikidata(
     qid: String,
     label: String,
@@ -73,7 +81,22 @@ final case class KbWikidata(
     partOf: Seq[String],
     hasParts: Seq[String],
     memberOf: Seq[String],
-    officialWebsite: String)
+    officialWebsite: String,
+    coordinates: Coordinates = null, // P625
+    birthDate: String = null, // P569, raw time string
+    deathDate: String = null, // P570
+    foundingDate: String = null, // P571
+    gndId: String = null) // P227
+
+/** Wikipedia ADDITIONAL_DETAILS dim (reference: wikipedia_service.py:514-603
+ * — infobox scrape, see-also links, main image), keyed by canonical title.
+ * A separate dimension so the hot linking path never carries these columns;
+ * Package joins it only when the flag is on. */
+final case class KbWikipediaDetails(
+    title: String,
+    infobox: Map[String, String],
+    seeAlso: Seq[String],
+    image: String)
 
 /** DBpedia-property fixture row (reference R8: dbpedia_service.py:367-501). */
 final case class KbDbpedia(

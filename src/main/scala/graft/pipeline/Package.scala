@@ -20,13 +20,15 @@ object Package {
       linked: Dataset[LinkedEntity],
       docEntities: DataFrame,
       wikidata: Dataset[KbWikidata],
-      dbpedia: Dataset[KbDbpedia]): DataFrame = {
+      dbpedia: Dataset[KbDbpedia],
+      wikipediaDetails: Option[Dataset[KbWikipediaDetails]] = None): DataFrame = {
     val withSpans = Link.packagedEntities(linked, docEntities)
     val wd = broadcast(wikidata.toDF()
       .select(col("qid").as("wdQid"), col("label").as("wdLabel"),
         col("description").as("wdDescription"), col("aliases"),
         col("instanceOf"), col("partOf"), col("hasParts"), col("memberOf"),
-        col("officialWebsite")))
+        col("officialWebsite"), col("coordinates"), col("birthDate"),
+        col("deathDate"), col("foundingDate"), col("gndId")))
     val dbp = broadcast(dbpedia.toDF()
       .select(col("qid").as("dbQid"), col("resourceUri"),
         col("abstractText"), col("types").as("dbTypes"),
@@ -37,10 +39,25 @@ object Package {
         col("wikipediaTitle"), col("wikipediaExtract"), col("categories"))
       .dropDuplicates("lDocId", "lName")
 
-    withSpans
+    // ADDITIONAL_DETAILS gate (wikipedia_service.py:514-603 + linker.py:129-134):
+    // the details dim joins (broadcast) ONLY when asked for — the extra
+    // columns never ride the pipeline otherwise
+    val detailFields: Seq[org.apache.spark.sql.Column] = wikipediaDetails match {
+      case Some(_) => Seq(col("infobox"), col("seeAlso").as("see_also"), col("image"))
+      case None => Seq.empty
+    }
+    val joined0 = withSpans
       .join(base, col("docId") === col("lDocId") && col("entityName") === col("lName"), "left")
       .join(wd, col("qid") === col("wdQid"), "left")
       .join(dbp, col("qid") === col("dbQid"), "left")
+    val joined = wikipediaDetails match {
+      case Some(det) => joined0.join(
+        broadcast(det.toDF().withColumnRenamed("title", "detTitle")),
+        col("wikipediaTitle") === col("detTitle"), "left")
+      case None => joined0
+    }
+
+    joined
       .select(
         col("docId"),
         col("entityName").as("entity"),
@@ -52,14 +69,15 @@ object Package {
           col("citationEnd")).as("details"),
         struct(
           when(col("wikipediaTitle").isNotNull, struct(
-            col("wikipediaTitle").as("label"),
-            // emitted URLs go through the reference's sanitizer
-            // (wiki_url_utils.py:3-14) so special-char titles stay valid
-            graft.functions.TextFunctions.sanitizeWikipediaUrl(
-              concat(lit("https://en.wikipedia.org/wiki/"),
-                replace(col("wikipediaTitle"), lit(" "), lit("_")))).as("url"),
-            col("wikipediaExtract").as("extract"),
-            col("categories"))).as("wikipedia"),
+            (Seq(
+              col("wikipediaTitle").as("label"),
+              // emitted URLs go through the reference's sanitizer
+              // (wiki_url_utils.py:3-14) so special-char titles stay valid
+              graft.functions.TextFunctions.sanitizeWikipediaUrl(
+                concat(lit("https://en.wikipedia.org/wiki/"),
+                  replace(col("wikipediaTitle"), lit(" "), lit("_")))).as("url"),
+              col("wikipediaExtract").as("extract"),
+              col("categories")) ++ detailFields): _*)).as("wikipedia"),
           when(col("wdQid").isNotNull, struct(
             col("wdQid").as("id"),
             concat(lit("https://www.wikidata.org/wiki/"), col("wdQid")).as("url"),
@@ -70,7 +88,14 @@ object Package {
             col("partOf").as("part_of"),
             col("hasParts").as("has_parts"),
             col("memberOf").as("member_of"),
-            col("officialWebsite").as("website"))).as("wikidata"),
+            col("officialWebsite").as("website"),
+            col("coordinates"),
+            // raw Wikidata time values trimmed exactly where the reference
+            // formats them (wikidata_service.py:506-513)
+            graft.functions.TextFunctions.trimWikidataTime(col("birthDate")).as("birth_date"),
+            graft.functions.TextFunctions.trimWikidataTime(col("deathDate")).as("death_date"),
+            graft.functions.TextFunctions.trimWikidataTime(col("foundingDate")).as("founding_date"),
+            col("gndId").as("gnd_id"))).as("wikidata"),
           when(col("dbQid").isNotNull, struct(
             col("resourceUri").as("resource_uri"),
             col("abstractText").as("abstract"),

@@ -20,7 +20,13 @@ final case class PipelineConfig(
     kgcRounds: Int = 0, // reference default 3, but off unless asked (settings.py:63 gates it behind ENABLE_KGC)
     runFuzzyDedup: Boolean = true,
     validateTriples: Boolean = false, // triples are valid by construction; on for untrusted sources
-    buckets: Int = Materialize.DefaultBuckets)
+    buckets: Int = Materialize.DefaultBuckets,
+    // generate mode (main.py generate flow): mentions flagged implicit;
+    // the caller feeds a Generate.corpusFromTopics pseudo-corpus
+    generateMode: Boolean = false,
+    // ENABLE_ENTITY_INFERENCE (entity_inference.py): add KB-neighbor
+    // implicit entities per document, merged explicit-over-implicit
+    inferImplicit: Boolean = false)
 
 final case class PipelineResult(
     mentions: Dataset[Mention],
@@ -42,11 +48,16 @@ object Pipeline {
     // RAW mentions (overlap duplicates included): the link window dedups them
     // in the same shuffle as the argmax — one pass over the fattest stream
     val mentions = Detect.rawMentions(
-      Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
+      Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz,
+      inferred = if (cfg.generateMode) PipelineSchema.InferredImplicit
+        else PipelineSchema.InferredExplicit)
     // persist the stage boundaries: every downstream consumer (relate, CC,
     // stats, write) would otherwise re-run the whole detect+link chain per action
     val linked = Link.link(mentions, labels).persist()
-    val docEntities = Link.docEntities(linked).persist()
+    val baseDocEntities = Link.docEntities(linked)
+    val docEntities = (if (cfg.inferImplicit)
+        Infer.withImplicit(baseDocEntities, wikidata, labels)
+      else baseDocEntities).persist()
     // materialize EAGERLY and sequentially: AQE runs broadcast builds and
     // independent stages concurrently, and concurrent consumers of a cold
     // cache each recompute the full subtree (Spark does not dedupe in-flight
@@ -59,7 +70,8 @@ object Pipeline {
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
     // materializes concurrently — eager checkpoint so both hit ready blocks
-    val canonMap = Canonicalize.canonicalMap(linked, dbpedia).localCheckpoint(true)
+    val canonMap = Canonicalize.canonicalMap(linked, dbpedia,
+      Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
     val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
   }
@@ -112,7 +124,8 @@ object Pipeline {
 
     // stage 3: canonical triples
     if (!Materialize.isComplete(s"$outDir/canonical")) {
-      val canonMap = Canonicalize.canonicalMap(linked, dbpedia).localCheckpoint(true)
+      val canonMap = Canonicalize.canonicalMap(linked, dbpedia,
+        Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
       val canonical = Canonicalize.canonicalTriples(triples, canonMap)
       Materialize.writeStage(canonical.toDF(), "canonical", outDir, cfg.buckets, resume = true)
       ran += "canonical"

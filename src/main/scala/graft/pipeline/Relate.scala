@@ -41,7 +41,9 @@ object Relate {
   def explicitTriples(docEntities: DataFrame): DataFrame = {
     val spark = docEntities.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"docId").orderBy($"firstPos")
+    // entityName tiebreak: implicit entities (no citation span) all carry the
+    // same sentinel position, and the pair order must be deterministic
+    val w = Window.partitionBy($"docId").orderBy($"firstPos", $"entityName")
     val pairs = docEntities
       .withColumn("nextName", lead($"entityName", 1).over(w))
       .withColumn("nextType", lead($"entityType", 1).over(w))

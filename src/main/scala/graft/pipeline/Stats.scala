@@ -31,14 +31,28 @@ object Stats {
    * qid bridges into the DBpedia property dim. Both dims join broadcast.
    */
   def linkedShares(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
-      dbpedia: Dataset[KbDbpedia]): DataFrame = {
+      dbpedia: Dataset[KbDbpedia],
+      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
     val wd = broadcast(wikidata.select(col("qid").as("wdQid")).distinct())
     val db = broadcast(dbpedia.where(col("qid").isNotNull)
       .select(col("qid").as("dbQid")).distinct())
     def pct(c: Column) = round(c * 100.0 / count(lit(1)), 2)
-    docEntities
+    val withQidJoins = docEntities
       .join(wd, docEntities("qid") === wd("wdQid"), "left")
       .join(db, docEntities("qid") === db("dbQid"), "left")
+    // dbpedia presence = the qid bridge OR the label-keyed Lookup fallback
+    // (dbpedia_service.py:103-197) — the reference counts an entity as
+    // dbpedia-linked whenever its dbpedia block resolved, either way
+    val joined = dbpediaLookup match {
+      case Some(lookup) => withQidJoins.join(
+        broadcast(lookup.select(col("labelNorm"), lit(1).as("lkHit")).distinct()),
+        lower(docEntities("entityName")) === col("labelNorm"), "left")
+      case None => withQidJoins.withColumn("lkHit", lit(null).cast("int"))
+    }
+    joined
+      .withColumn("dbQid",
+        when(col("dbQid").isNotNull.or(col("lkHit").isNotNull), lit("hit"))
+          .otherwise(lit(null).cast("string")))
       .agg(
         count(lit(1)).as("total_entities"),
         sum(when(col("qid").isNotNull, 1).otherwise(0)).as("wikipedia_count"),
@@ -146,13 +160,20 @@ object Stats {
    */
   def statisticsJson(linked: Dataset[LinkedEntity], docEntities: DataFrame,
       triples: Dataset[Triple], wikidata: Dataset[KbWikidata],
-      dbpedia: Dataset[KbDbpedia], topK: Int = 10,
-      connectionsLimit: Int = Int.MaxValue): String = {
+      dbpedia: Dataset[KbDbpedia], dbpediaLookup: Option[DataFrame] = None,
+      topK: Int = 10, connectionsLimit: Int = Int.MaxValue): String = {
     val types = typesDistribution(docEntities).collect()
       .map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""").mkString("{", ", ", "}")
-    val share = linkedShares(docEntities, wikidata, dbpedia).collect().head
-    def linkedBlock(src: String) =
-      s""""$src": {"count": ${share.getAs[Long](s"${src}_count")}, "percent": ${share.getAs[Double](s"${src}_percent")}}"""
+    val share = linkedShares(docEntities, wikidata, dbpedia, dbpediaLookup).collect().head
+    // empty corpus: sums/percents are SQL null -> the reference emits zeros
+    // (orchestrator.py:521-523 else-branch)
+    def linkedBlock(src: String) = {
+      val c = if (share.isNullAt(share.fieldIndex(s"${src}_count"))) 0L
+        else share.getAs[Long](s"${src}_count")
+      val p = if (share.isNullAt(share.fieldIndex(s"${src}_percent"))) 0.0
+        else share.getAs[Double](s"${src}_percent")
+      s""""$src": {"count": $c, "percent": $p}"""
+    }
     val conns = entityConnections(triples).limit(connectionsLimit).collect()
       .map(r => s"""{"entity": "${esc(r.getString(0))}", "count": ${r.getLong(1)}}""")
       .mkString("[", ", ", "]")

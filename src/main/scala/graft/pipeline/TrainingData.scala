@@ -16,14 +16,16 @@ object TrainingData {
     "Extract named entities as lines: name; type; url; citation"
   val RelationSystemPrompt =
     "Extract relationships as lines: subject; predicate; object"
+  val GenerateSystemPrompt =
+    "Generate entities about the topic as lines: name; type; url; citation"
 
   private def message(role: String, content: Column) =
     struct(lit(role).as("role"), content.as("content"))
 
-  /** Entity-extraction examples: user = document content, assistant =
-   * semicolon lines of the document's entities in first-occurrence order. */
-  def entityExamples(corpus: Dataset[SourceFile], docEntities: DataFrame): DataFrame = {
-    val lines = docEntities
+  /** Per-document assistant content: semicolon entity lines in
+   * first-occurrence order (shared by the extract and generate sinks). */
+  private def assistantEntityLines(docEntities: DataFrame): DataFrame =
+    docEntities
       .withColumn("line", concat_ws("; ",
         col("entityName"), col("entityType"),
         concat(lit("https://en.wikipedia.org/wiki/"),
@@ -33,6 +35,11 @@ object TrainingData {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("firstPos"), col("line")))),
         x => x.getField("line")), "\n").as("assistant"))
+
+  /** Entity-extraction examples: user = document content, assistant =
+   * semicolon lines of the document's entities in first-occurrence order. */
+  def entityExamples(corpus: Dataset[SourceFile], docEntities: DataFrame): DataFrame = {
+    val lines = assistantEntityLines(docEntities)
     corpus
       .withColumn("docId", concat(col("repo"), lit(":"), col("path")))
       .join(lines, Seq("docId"))
@@ -55,6 +62,20 @@ object TrainingData {
       .select(array(
         message("system", lit(RelationSystemPrompt)),
         message("user", col("content")),
+        message("assistant", col("assistant"))).as("messages"))
+  }
+
+  /** Generate-mode examples (reference: generator.py:26-76): user = the
+   * TOPIC (not a document), assistant = the generated entities' semicolon
+   * lines. docId convention: "generate:<topicId>" (Generate.corpusFromTopics). */
+  def generationExamples(topics: DataFrame, docEntities: DataFrame): DataFrame = {
+    val lines = assistantEntityLines(docEntities)
+    topics
+      .withColumn("docId", concat(lit("generate:"), col("topicId").cast("string")))
+      .join(lines, Seq("docId"))
+      .select(array(
+        message("system", lit(GenerateSystemPrompt)),
+        message("user", col("topic")),
         message("assistant", col("assistant"))).as("messages"))
   }
 

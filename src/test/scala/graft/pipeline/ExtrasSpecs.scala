@@ -167,7 +167,7 @@ class TrainingCompendiumSpec extends AnyFunSuite {
 
   test("statistics JSON block has the FULL reference R6 key set") {
     val json = Stats.statisticsJson(result.linked, result.docEntities, result.triples,
-      KB.wikidata(spark), KB.dbpedia(spark))
+      KB.wikidata(spark), KB.dbpedia(spark), Some(KB.dbpediaLookup(spark)))
     // the complete key set of orchestrator.py:483-591 / README.md:110-129
     Seq("total_entities", "types_distribution", "linked", "top_wikipedia_categories",
       "top_wikidata_types", "entity_connections", "top_wikidata_part_of",

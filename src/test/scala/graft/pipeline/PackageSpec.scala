@@ -36,6 +36,46 @@ class PackageSpec extends AnyFunSuite {
     assert(dbpedia.getString(0).contains("/resource/Brookfall"))
   }
 
+  test("R7 details + ADDITIONAL_DETAILS: trimmed dates, coordinates, gnd, infobox") {
+    val mini = spark.createDataset(Seq(SourceFile("r", "p", "c", "java",
+      "Ingrid Malvik works at Halverson Systems on Brookfall and Mistgate.")))
+    val res = Pipeline.run(spark, mini)
+    val det = Package.packagedEntities(res.linked, res.docEntities,
+      KB.wikidata(spark), KB.dbpedia(spark), Some(KB.wikipediaDetails(spark))).persist()
+
+    // person: birth_date trimmed to YYYY-MM-DD, gnd present, no death claim
+    val ingrid = det.filter($"entity" === "Ingrid Malvik")
+      .select($"sources.wikidata.birth_date", $"sources.wikidata.death_date",
+        $"sources.wikidata.gnd_id").head()
+    assert(ingrid.getString(0) == "1971-02-06")
+    assert(ingrid.isNullAt(1))
+    assert(ingrid.getString(2) == "19301-1")
+
+    // organization: founding date trimmed + coordinates struct
+    val halverson = det.filter($"entity" === "Halverson Systems")
+      .select($"sources.wikidata.founding_date",
+        $"sources.wikidata.coordinates.latitude",
+        $"sources.wikidata.coordinates.longitude").head()
+    assert(halverson.getString(0) == "1981-01-01")
+    assert(math.abs(halverson.getDouble(1) - 35.3) < 1e-9)
+    assert(math.abs(halverson.getDouble(2) - (-105.3)) < 1e-9)
+
+    // ADDITIONAL_DETAILS block appended to the wikipedia struct
+    val b = det.filter($"entity" === "Mistgate").head()
+    val wiki = b.getStruct(b.fieldIndex("sources")).getStruct(0)
+    assert(wiki.schema.fieldNames.toSeq ==
+      Seq("label", "url", "extract", "categories", "infobox", "see_also", "image"))
+    val infobox = wiki.getAs[scala.collection.Map[String, String]]("infobox")
+    assert(infobox("type") == "software" && infobox("part_of") == "Lumina Platform")
+    assert(wiki.getAs[scala.collection.Seq[String]]("see_also").contains("Lumina Platform"))
+    assert(wiki.getAs[String]("image").endsWith("Mistgate.png"))
+
+    // without the flag the wikipedia struct keeps the lean 4-field shape
+    val plain = packaged.filter($"entity" === "Brookfall").head()
+    assert(plain.getStruct(plain.fieldIndex("sources")).getStruct(0)
+      .schema.fieldNames.toSeq == Seq("label", "url", "extract", "categories"))
+  }
+
   test("result documents aggregate entities + relationships per doc") {
     val docs = Package.resultDocuments(packaged, result.triples)
     val row = docs.head()
