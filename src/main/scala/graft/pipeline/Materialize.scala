@@ -80,7 +80,22 @@ object Materialize {
       out.iterator
     }.toDF("lang", "bucket", "rowCount", "sha256")
       .withColumn("stage", lit(stage))
+      .transform(addInputFiles(df, buckets))
   }
+
+  /** north_star lineage contract: "(partition id, input file count, triple
+   * count, sha256)" — the input-file count per (lang, bucket) is the number
+   * of distinct source documents feeding the partition. A separate exact
+   * countDistinct aggregate (map-side partials, constant state per group)
+   * joined onto the digest rows — the digest pass itself stays single-pass. */
+  private def addInputFiles(df: DataFrame, buckets: Int)(lineage: DataFrame): DataFrame =
+    if (!df.columns.contains("docId")) lineage.withColumn("inputFiles", lit(null).cast("long"))
+    else {
+      val files = withBucket(df, buckets)
+        .groupBy(col("lang"), col("bucket").cast("int").as("bucket"))
+        .agg(countDistinct(col("docId")).as("inputFiles"))
+      lineage.join(files, Seq("lang", "bucket"), "left")
+    }
 
   def completeMarker(dir: String): java.nio.file.Path = Paths.get(dir, "_GRAFT_COMPLETE")
 

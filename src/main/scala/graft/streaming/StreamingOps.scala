@@ -54,11 +54,16 @@ object StreamingOps {
       .start()
   }
 
-  /** Read-side dedup for the append-only stream output. The full chain
-   * (exact, pair consolidation, fuzzy) is a composition of min-selections
-   * under total orders, hence associative and idempotent: applying it over
-   * the union of per-batch-deduped outputs yields exactly the global batch
-   * result. */
+  /** Read-side dedup for the append-only stream output. Exact (s,p,o) dedup
+   * and equality-keyed pair consolidation are min-selections under total
+   * orders — associative, so batched-then-merged equals global. The FUZZY
+   * predicate clustering is greedy and therefore associative only when
+   * similarity is effectively transitive within a pair's predicates; that
+   * holds on the pipeline's closed predicate vocabulary (clusters are
+   * singletons or tight spelling variants), and StreamingSpec asserts
+   * stream == batch end-to-end. On an open vocabulary, run the final fuzzy
+   * pass over the merged stream output only (it is idempotent), not
+   * per-batch. */
   def readStreamTriples(spark: SparkSession, outDir: String): Dataset[Triple] = {
     import spark.implicits._
     Dedup.all(spark.read.parquet(s"$outDir/triples_stream").as[Triple])

@@ -70,4 +70,20 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.SparkEntry.queries("q_topk")(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("statistics explode+count+top-k also plans as TakeOrderedAndProject") {
+    val plan = planOf(graft.SparkEntry.queries("q_explode_topk")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity/dedup candidate joins are equi-joins — never nested-loop") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_similarity_expr", "q_cosine_pairs", "q_minhash_dedup",
+      "q_jaccard_pairs", "q_simhash_pairs").foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name plans a non-equi pair join")
+    }
+  }
 }

@@ -31,10 +31,14 @@ class ResumeSpec extends AnyFunSuite {
     assert(triples3 == triples1)
 
     // lineage rows exist for every stage with the required fields
+    // (north_star: partition id, input file count, row count, sha256)
     Seq("linked", "triples", "canonical").foreach { st =>
       val lin = spark.read.json(s"$out/$st/lineage")
-      assert(lin.columns.toSet == Set("lang", "bucket", "rowCount", "sha256", "stage"))
+      assert(lin.columns.toSet ==
+        Set("lang", "bucket", "rowCount", "sha256", "stage", "inputFiles"))
       assert(lin.count() > 0)
+      import org.apache.spark.sql.functions.col
+      assert(lin.filter(col("inputFiles").isNull || col("inputFiles") <= 0).count() == 0, st)
     }
 
     // a fresh run into a different dir at different parallelism yields
