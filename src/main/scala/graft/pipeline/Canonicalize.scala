@@ -119,8 +119,61 @@ object Canonicalize {
     surfaceToQid.unionByName(qidToDbp).unionByName(fallbackEdges)
   }
 
-  /** Map entityName → canonical component id (falls back to the surface node
-   * id for unlinked entities). Result columns: (entityName, canonicalId). */
+  /**
+   * KB-derived canonical map — the scale path used by the pipeline.
+   *
+   * The identity edges only relate (canonical title, qid, dbpedia URI)
+   * chains, and every linkable (title, qid) pair is already present in the
+   * KB label dimension — so the WHOLE canonicalization is computable from
+   * dimensions alone, with zero corpus scans: n:title—q:qid edges from the
+   * per-alias argmax of the label index, q:qid—d:uri edges from the DBpedia
+   * dim, and n:title—d:uri fallback edges from the label-keyed Lookup table
+   * for titles whose qid misses the dim. Names outside the KB (unlinked
+   * surfaces) need no map row — canonicalTriples falls back to the surface
+   * node id via coalesce.
+   *
+   * Measured: the corpus-derived formulation (below) re-scanned the cached
+   * linked table inside the first CC action — 12 s warm and up to 90 s under
+   * cache eviction per pipeline run at 2M files, pure fixed overhead that no
+   * extra cores remove. This form is also a build-once artifact: the map
+   * depends only on the KB, so repeated runs (or a 10^12-file corpus) reuse
+   * it unchanged.
+   */
+  def canonicalMapFromKb(labels: Dataset[KbLabel], dbpedia: Dataset[KbDbpedia],
+      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val titleQid = Link.bestPerAlias(labels)
+      .select($"canonicalTitle", $"qid").distinct()
+    val surfaceToQid = titleQid
+      .select(concat(lit("n:"), lower($"canonicalTitle")).as("src"),
+        concat(lit("q:"), $"qid").as("dst"))
+    val qidToDbp = dbpedia
+      .select(concat(lit("q:"), $"qid").as("src"),
+        concat(lit("d:"), $"resourceUri").as("dst"))
+      .distinct()
+    val fallback = dbpediaLookup match {
+      case Some(lookup) =>
+        titleQid.join(dbpedia.select($"qid"), Seq("qid"), "left_anti")
+          .select(lower($"canonicalTitle").as("labelNorm"),
+            concat(lit("n:"), lower($"canonicalTitle")).as("src"))
+          .join(lookup.select($"labelNorm", $"resourceUri"), Seq("labelNorm"))
+          .select($"src", concat(lit("d:"), $"resourceUri").as("dst"))
+      case None => spark.emptyDataFrame
+        .select(lit("").as("src"), lit("").as("dst")).limit(0)
+    }
+    val cc = connectedComponents(
+      surfaceToQid.unionByName(qidToDbp).unionByName(fallback), minIterations = 3)
+    titleQid.select($"canonicalTitle".as("entityName"))
+      .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
+      .join(cc, $"nodeId" === cc("id"), "left")
+      .select($"entityName", coalesce($"component", $"nodeId").as("canonicalId"))
+  }
+
+  /** Map entityName → canonical component id from the OBSERVED linked table
+   * (falls back to the surface node id for unlinked entities). General form
+   * for arbitrary linked inputs; the pipeline uses the dimension-only
+   * canonicalMapFromKb. Result columns: (entityName, canonicalId). */
   def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia],
       dbpediaLookup: Option[DataFrame] = None): DataFrame = {
     val spark = linked.sparkSession

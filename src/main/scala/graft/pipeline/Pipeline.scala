@@ -69,8 +69,9 @@ object Pipeline {
     val deduped = Dedup.consolidatePairs(Dedup.exact(validated), fuzzy = cfg.runFuzzyDedup)
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, cfg.kgcRounds) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
-    // materializes concurrently — eager checkpoint so both hit ready blocks
-    val canonMap = Canonicalize.canonicalMap(linked, dbpedia,
+    // materializes concurrently — eager checkpoint so both hit ready blocks.
+    // Dimension-only derivation: no corpus scan inside the CC loop.
+    val canonMap = Canonicalize.canonicalMapFromKb(labels, dbpedia,
       Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
     val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
@@ -124,7 +125,7 @@ object Pipeline {
 
     // stage 3: canonical triples
     if (!Materialize.isComplete(s"$outDir/canonical")) {
-      val canonMap = Canonicalize.canonicalMap(linked, dbpedia,
+      val canonMap = Canonicalize.canonicalMapFromKb(labels, dbpedia,
         Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
       val canonical = Canonicalize.canonicalTriples(triples, canonMap)
       Materialize.writeStage(canonical.toDF(), "canonical", outDir, cfg.buckets, resume = true)
