@@ -68,6 +68,9 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
+    // free the dedup ops' persisted shingle frames before the pipeline bench
+    graft.ops.DedupOps.unpersistIntermediates()
+
     Bench.runPipelineBench(spark, math.max(1000L, nFiles / 10)) // warm-up
     val (pipeSec, nDocs, nTriples) = runPipelineBench(spark, nFiles)
     val all = results :+ ("kg_pipeline" -> pipeSec)

@@ -17,9 +17,34 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Per-table IVF index cache (an index is a build-once artifact). */
+  /** Total-order finisher: same output order as `orderBy(cols)` (sort keys
+   * are unique per query contract) WITHOUT a range exchange. A global sort
+   * plans RangePartitioning, whose bounds job SAMPLES the child — measured
+   * re-executing the full upstream pipeline a second time (2-5× taskSum on
+   * the pair queries; q_similarity_expr 3.9 s → 18.7 s of CPU from the sort
+   * alone). Results here are driver-compare-sized (≤ a few 100 k rows), so
+   * one round-robin exchange + a single-task sort is strictly cheaper. At
+   * cluster scale with large results, keep orderBy — there the parallel
+   * range sort is the right plan and the sampling pass amortizes. */
+  private implicit class OrderedOps(df: DataFrame) {
+    def orderedBy(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+
+  /** Per-table IVF index cache (an index is a build-once artifact), keyed by
+   * table IDENTITY (path + file lengths/mtimes), not the directory string —
+   * a regenerated embeddings table must not be served a stale index. */
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, SimOps.IvfIndex]
+
+  /** Cheap driver-side table signature from filesystem metadata (works on
+   * any Hadoop FileSystem, not just local paths). */
+  private def tableSig(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isFile)
+    s"$path#${files.length}#${files.map(f => f.getLen + 31L * f.getModificationTime).sum}"
+  }
 
   /** Flagship: the full KG pipeline (detect → link → relate → dedup →
     * canonicalize) over a seed-fixed synthetic corpus; returns the canonical
@@ -39,7 +64,7 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .orderedBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q_filter_project" -> ((s, dir) => {
       // predicate + projection pushdown to the parquet scan
@@ -48,7 +73,7 @@ object SparkEntry {
           && col("l_discount") > 0.05)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-        .orderBy(col("l_returnflag"))
+        .orderedBy(col("l_returnflag"))
     }),
     "q_conditional_agg" -> ((s, dir) => {
       t(s, dir, "orders").agg(
@@ -97,7 +122,7 @@ object SparkEntry {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
-        .orderBy(col("c_mktsegment"))
+        .orderedBy(col("c_mktsegment"))
     }),
     "q_join_star" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -108,19 +133,19 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("r_name"))
+        .orderedBy(col("r_name"))
     }),
     "q_semi_join" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
-        .orderBy(col("c_nationkey"))
+        .orderedBy(col("c_nationkey"))
     }),
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
         .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
-        .orderBy(col("c_nationkey"))
+        .orderedBy(col("c_nationkey"))
     }),
     "q_full_outer_merge" -> ((s, dir) => {
       // the reference's JSON+XML merge-by-URI pattern: full outer + coalesce
@@ -132,7 +157,7 @@ object SparkEntry {
         .select(col("c_custkey"),
           round(coalesce(col("total"), lit(0.0)), 2).as("order_total"),
           round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
-        .orderBy(col("c_custkey"))
+        .orderedBy(col("c_custkey"))
     }),
 
     // ---- window / dedup (§2.5) ----
@@ -141,14 +166,14 @@ object SparkEntry {
       t(s, dir, "orders")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("best_price"))
-        .orderBy(col("o_custkey"))
+        .orderedBy(col("o_custkey"))
     }),
     "q_dedup_first" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
-        .orderBy(col("user_id"), col("event_type"))
+        .orderedBy(col("user_id"), col("event_type"))
     }),
 
     // ---- set ops (§2.8) ----
@@ -158,7 +183,7 @@ object SparkEntry {
       val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       all.distinct().except(f.distinct())
         .withColumnRenamed("o_custkey", "custkey")
-        .orderBy(col("custkey"))
+        .orderedBy(col("custkey"))
     }),
 
     // ---- graph degree (§2.6 entity_connections) ----
@@ -179,7 +204,7 @@ object SparkEntry {
         concat(lit("r"), col("n_regionkey")).as("dst"))
       graft.pipeline.Canonicalize.connectedComponents(edges)
         .withColumnRenamed("id", "node")
-        .orderBy(col("node"))
+        .orderedBy(col("node"))
     }),
 
     // ---- chunking (§2.3) ----
@@ -195,7 +220,7 @@ object SparkEntry {
         .withColumn("chunk_start", col("chunk_id") * step)
         .withColumn("chunk_md5", md5(expr(s"substring(text, chunk_start + 1, $size)")))
         .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_id"))
+        .orderedBy(col("doc_id"), col("chunk_id"))
     }),
 
     // ---- time-window aggregation (§2.9 batch form) ----
@@ -203,30 +228,30 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-        .orderBy(col("hour"), col("event_type"))
+        .orderedBy(col("hour"), col("event_type"))
     }),
 
     // ---- text analysis ops ----
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
-        .orderBy(col("doc_id"))
+        .orderedBy(col("doc_id"))
     }),
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
+        .orderedBy(col("doc_id"))
     }),
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))
+        .orderedBy(col("doc_id"))
     }),
     "q_quality" -> ((s, dir) => {
       TextOps.quality(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("mean_token_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
-        .orderBy(col("doc_id"))
+        .orderedBy(col("doc_id"))
     }),
 
     // ---- dedup ops ----
@@ -236,19 +261,19 @@ object SparkEntry {
       val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
       DedupOps.exactClusters(d.unionByName(dup))
         .select(col("cluster_id"), col("cluster_size"))
-        .orderBy(col("cluster_id"))
+        .orderedBy(col("cluster_id"))
     }),
     "q_jaccard_pairs" -> ((s, dir) => {
       DedupOps.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
-        .orderBy(col("a"), col("b"))
+        .orderedBy(col("a"), col("b"))
     }),
     "q_minhash_dedup" -> ((s, dir) => {
       DedupOps.minhashDupPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
-        .orderBy(col("a"), col("b"))
+        .orderedBy(col("a"), col("b"))
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
-        .orderBy(col("a"), col("b"))
+        .orderedBy(col("a"), col("b"))
     }),
 
     // ---- similarity search ----
@@ -268,19 +293,22 @@ object SparkEntry {
       // the IVF index is a build-once artifact: built on first use per
       // table, every subsequent query (incl. the measured bench run) is a
       // pure centroid-probe + cell scan
-      val idx = ivfIndexCache.getOrElseUpdate(dir,
+      val idx = ivfIndexCache.getOrElseUpdate(
+        tableSig(s, s"$dir/embeddings.parquet"),
         SimOps.buildIvfIndex(t(s, dir, "embeddings")))
       SimOps.topKIvfIndexed(idx, q, k = 20)
     }),
     "q_cosine_pairs" -> ((s, dir) => {
       // plant exact duplicates (cosine 1.0) by unioning a shifted copy — the
       // LSH-blocked plan must recover them AND any natural >= 0.95 pairs,
-      // equal to the DuckDB brute-force oracle (banded LSH P(miss) ~ 6e-6)
+      // equal to the DuckDB brute-force oracle (16×6 bands with the
+      // >=2-band-hit rule: P(miss) ≈ 1.2e-4 at exactly c = 0.95, 0 for the
+      // planted duplicates; recall/candidate math in SimOps.cosineDupPairs)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = e.unionByName(
         e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
       SimOps.cosineDupPairs(planted, threshold = 0.95)
-        .orderBy(col("a"), col("b"))
+        .orderedBy(col("a"), col("b"))
     }),
 
     // ---- gazetteer mention detection over documents ----
@@ -296,7 +324,7 @@ object SparkEntry {
           }
         }.toDF("doc_id", "term")
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
-        .orderBy(col("doc_id"), col("term"))
+        .orderedBy(col("doc_id"), col("term"))
     }),
 
     // ---- sessionization (gap-based event-time sessions) ----
@@ -313,7 +341,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
-        .orderBy(col("user_id"), col("session_id"))
+        .orderedBy(col("user_id"), col("session_id"))
     }),
 
     // ---- approximate distinct degree (the 10^12-scale fallback for
@@ -325,7 +353,7 @@ object SparkEntry {
         .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
           concat(lit("p"), col("l_partkey")).as("nbr")))
       e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("degree_approx"))
-        .orderBy(col("node"))
+        .orderedBy(col("node"))
     }),
 
     // ---- custom codegen Expression: Ratcliff/Obershelp similarity join
@@ -338,7 +366,7 @@ object SparkEntry {
       // the brute-force within-brand join is pinned by SimilarityJoinSpec.
       graft.ops.SimilarityJoin.roSelfJoin(
         t(s, dir, "part"), "p_partkey", "p_name", Seq("p_brand"), 0.8)
-        .orderBy(col("a"), col("b"))
+        .orderedBy(col("a"), col("b"))
     }),
 
     // ---- scalar parsing / URL functions (reference §2.2) ----
@@ -352,7 +380,7 @@ object SparkEntry {
         .select(col("p_partkey"), col("e.name").as("name"),
           col("e.entityType").as("entity_type"), col("e.url").as("url"),
           col("e.citation").as("citation"))
-        .orderBy(col("p_partkey"))
+        .orderedBy(col("p_partkey"))
     }),
     "q_url_ops" -> ((s, dir) => {
       val urls = t(s, dir, "part").select(col("p_partkey"),
@@ -362,17 +390,17 @@ object SparkEntry {
           graft.functions.TextFunctions.isValidWikipediaUrl(col("url")).as("valid"),
           graft.functions.TextFunctions.urlToTitle(col("url")).as("title"),
           graft.functions.TextFunctions.langFromUrl(col("url")).as("lang"))
-        .orderBy(col("p_partkey"))
+        .orderedBy(col("p_partkey"))
     }),
 
     // ---- explicit skew handling (north_rule) ----
     "q_salted_agg" -> ((s, dir) => {
       graft.ops.Skew.saltedCount(t(s, dir, "lineitem"), Seq("l_returnflag"))
-        .orderBy(col("l_returnflag"))
+        .orderedBy(col("l_returnflag"))
     }),
     "q_salted_distinct" -> ((s, dir) => {
       graft.ops.Skew.saltedDistinctCount(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")
-        .orderBy(col("l_returnflag"))
+        .orderedBy(col("l_returnflag"))
     }),
 
     // ---- multimodal plumbing (stubbed codec; deterministic) ----
@@ -380,12 +408,12 @@ object SparkEntry {
       MediaOps.decode(MediaOps.generate(s, 300)).toDF()
         .select(col("mediaId"), col("kind"), col("width"), col("height"),
           col("sampleRate"), col("frames"), col("byteLen"), col("checksum"))
-        .orderBy(col("mediaId"))
+        .orderedBy(col("mediaId"))
     }),
     "q_media_frames" -> ((s, dir) => {
       MediaOps.sampleFrames(MediaOps.generate(s, 300), stride = 6)
         .groupBy(col("mediaId")).agg(count(lit(1)).as("n_sampled"))
-        .orderBy(col("mediaId"))
+        .orderedBy(col("mediaId"))
     }))
 
   def oracleSql: Map[String, String] = Map(

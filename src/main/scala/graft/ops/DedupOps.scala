@@ -16,6 +16,25 @@ import org.apache.spark.sql.expressions.Window
  */
 object DedupOps {
 
+  /** Persisted intermediates created by the convenience entry points (the
+   * shared shingle frames). Persisting is a perf necessity — Spark does not
+   * dedupe common plan subtrees — but a library must not leak blocks until
+   * LRU eviction, so every internal persist registers here and long-running
+   * callers (Bench, servers) drain it between workloads. Unpersisting is
+   * always safe: a still-referenced frame just recomputes. */
+  private val persistedIntermediates =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerPersisted(df: DataFrame): DataFrame = synchronized {
+    persistedIntermediates += df
+    df
+  }
+
+  def unpersistIntermediates(): Unit = synchronized {
+    persistedIntermediates.foreach(_.unpersist(false))
+    persistedIntermediates.clear()
+  }
+
   // ---------------- exact ----------------
 
   /** Exact-duplicate clusters: fingerprint → (clusterId = min doc_id,
@@ -58,7 +77,8 @@ object DedupOps {
    * SparkER-style blocking-key filtering); `dfCap` does that here. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       dfCap: Int = 1000): DataFrame = {
-    val sh = shingles(docs, n).persist() // three consumers (see minhashDupPairs)
+    // three consumers (see minhashDupPairs); registered for caller drain
+    val sh = registerPersisted(shingles(docs, n).persist())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     // inverted-index self-join: pairs stream out of the shingle-partitioned
     // join (an in-row k² array materialization was measured 7x slower).
@@ -134,7 +154,7 @@ object DedupOps {
     // verification joins — persisted, because Spark does not dedupe common
     // plan subtrees and the tokenize→gram→distinct chain dominated the
     // round-1 profile when recomputed per consumer
-    val sh = shingles(docs, n).persist()
+    val sh = registerPersisted(shingles(docs, n).persist())
     val cand = lshCandidatesFromShingles(sh, bands, rowsPerBand)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     // count shared shingles for candidate pairs only (never all pairs)
@@ -154,37 +174,48 @@ object DedupOps {
   // ---------------- SimHash ----------------
 
   /** 32-bit SimHash per doc from word hashes: bit i = sign of Σ±1 over
-   * tokens' murmur3 bit i. */
+   * tokens' murmur3 bit i.
+   *
+   * Shape: ONE hash aggregate over the token stream with 32 fixed
+   * conditional-sum buffers (the same wide single-HashAggregate shape as
+   * minhashWide), then the signature assembles from the 32 sums in a pure
+   * projection. The round-2 form exploded `(id, hv) × sequence(0, 31)` —
+   * a 32× multiplication of the token stream BEFORE the shuffle, measured
+   * as 20.9 s on the driver bench; this form shuffles only the map-side
+   * combined (id, 32 longs) rows. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .withColumn("hv", hash(col("w")))
-    // shiftright/shiftleft with a COLUMN shift amount only exist in SQL form
-    val bits = tok.select(col("id"), col("hv"),
-        explode(sequence(lit(0), lit(31))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(hv, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy("id", "bit").agg(sum("vote").as("v"))
-    bits.groupBy("id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 32).map(i =>
+      sum(when(shiftright(col("hv"), i).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of 4 8-bit bands, verified
-   * by Hamming distance <= maxHamming. */
+   * by Hamming distance <= maxHamming.
+   *
+   * The Hamming verify lives INSIDE the join condition: simhash bits are
+   * biased on real text (common tokens push the same directions), so band
+   * keys collide far beyond the uniform estimate — measured 4.5 M candidate
+   * rows from 5 k docs at sf0.1. A post-join distinct would shuffle all of
+   * them; as a join predicate the XOR+popcount runs in the same codegen
+   * stage and only survivors (pairs, not per-band rows) reach the distinct. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val shs = simhash(docs)
     val banded = shs.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftright(simhash, band * 8)").bitwiseAND(0xFF))
-    val cand = banded.as("l").join(banded.as("r"),
+    banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("l.simhash").as("ha"),
-        col("r.id").as("b"), col("r.simhash").as("hb"))
+          col("l.id") < col("r.id") &&
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= maxHamming)
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
   }
 }

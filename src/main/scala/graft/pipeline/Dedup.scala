@@ -140,32 +140,54 @@ object RatcliffObershelp {
 
   def ratio(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) 1.0
-    else 2.0 * matchedChars(a, b) / (a.length + b.length)
+    else 2.0 * matchedChars(a, 0, a.length, b, 0, b.length) / (a.length + b.length)
   }
 
-  private def matchedChars(a: String, b: String): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
-    // longest common substring; ties broken by earliest start in a, then b
-    var bestLen = 0; var bestI = 0; var bestJ = 0
-    val m = b.length
-    val prev = new Array[Int](m + 1)
-    val cur = new Array[Int](m + 1)
-    var i = 0
-    while (i < a.length) {
+  /** Reusable DP rows (ping-pong pair), thread-confined. The metric runs
+   * once per VERIFIED candidate pair — millions of calls per query — and
+   * per-call array/substring allocation dominated the round-2 profile
+   * (q_similarity_expr's verify stage: 15.9 s CPU at sf0.1, ~8 µs/call on
+   * 10-char names whose DP is only ~100 cells). Ranges replace substrings;
+   * the two rows swap instead of copying. Recursion is safe: a frame is
+   * done with the buffers before it recurses, and only scalars survive. */
+  private val dpRows = new ThreadLocal[Array[Array[Int]]] {
+    override def initialValue(): Array[Array[Int]] =
+      Array(new Array[Int](64), new Array[Int](64))
+  }
+
+  /** Matched chars of a[as,ae) vs b[bs,be): longest common substring (ties
+   * broken by earliest start in a, then b — same scan order as before, so
+   * difflib-parity values are unchanged) + recursion on both flanks. */
+  private def matchedChars(a: String, as: Int, ae: Int,
+      b: String, bs: Int, be: Int): Int = {
+    if (as >= ae || bs >= be) return 0
+    val m = be - bs
+    var bufs = dpRows.get()
+    if (bufs(0).length < m + 1) {
+      bufs = Array(new Array[Int](m + 1), new Array[Int](m + 1))
+      dpRows.set(bufs)
+    }
+    var prev = bufs(0)
+    var cur = bufs(1)
+    java.util.Arrays.fill(prev, 0, m + 1, 0)
+    cur(0) = 0
+    var bestLen = 0; var bestI = as; var bestJ = bs
+    var i = as
+    while (i < ae) {
+      val ca = a.charAt(i)
       var j = 0
       while (j < m) {
-        cur(j + 1) = if (a.charAt(i) == b.charAt(j)) prev(j) + 1 else 0
-        if (cur(j + 1) > bestLen) {
-          bestLen = cur(j + 1); bestI = i - bestLen + 1; bestJ = j - bestLen + 1
-        }
+        val v = if (ca == b.charAt(bs + j)) prev(j) + 1 else 0
+        cur(j + 1) = v
+        if (v > bestLen) { bestLen = v; bestI = i - v + 1; bestJ = bs + j - v + 1 }
         j += 1
       }
-      System.arraycopy(cur, 0, prev, 0, m + 1)
+      val t = prev; prev = cur; cur = t
       i += 1
     }
     if (bestLen == 0) 0
     else bestLen +
-      matchedChars(a.substring(0, bestI), b.substring(0, bestJ)) +
-      matchedChars(a.substring(bestI + bestLen), b.substring(bestJ + bestLen))
+      matchedChars(a, as, bestI, b, bs, bestJ) +
+      matchedChars(a, bestI + bestLen, ae, b, bestJ + bestLen, be)
   }
 }

@@ -151,6 +151,35 @@ object EntityUniverse {
   val byTitle: Map[String, EntitySpec] = all.map(e => e.title -> e).toMap
   val byQid: Map[String, EntitySpec] = all.map(e => e.qid -> e).toMap
 
+  /**
+   * German-language surface forms (langlinks fixture) — the reference is
+   * German-first (`LANGUAGE=de`, settings.py:15) and resolves titles across
+   * languages via Wikipedia langlinks (wikipedia_service.py:31-87). Synthetic
+   * invented German-ish titles for the concept/language entities; proper
+   * nouns (products, orgs, people) intentionally have NO entry — on real
+   * Wikipedia their titles usually coincide across languages, and the
+   * resolution path must handle the missing-langlink fallback.
+   */
+  val deTitles: Map[String, String] = Map(
+    "Lumina Language" -> "Lumina-Sprache",
+    "Quartzite" -> "Quarzgestein",
+    "Veldt" -> "Grasland",
+    "stream processing" -> "Datenstromverarbeitung",
+    "dependency resolution" -> "Abhängigkeitsauflösung",
+    "vector clock" -> "Vektoruhr",
+    "consensus protocol" -> "Konsensprotokoll",
+    "columnar storage" -> "Spaltenspeicherung",
+    "Corelib Buffer" -> "Corelib-Puffer")
+
+  /** Extra German aliases beyond the de title itself. */
+  val deAliases: Map[String, Seq[String]] = Map(
+    "Lumina Language" -> Seq("lumina-sprache", "die lumina sprache"),
+    "stream processing" -> Seq("datenstromverarbeitung", "stromverarbeitung"),
+    "vector clock" -> Seq("vektoruhr", "vektoruhren"),
+    "consensus protocol" -> Seq("konsensprotokoll", "konsensprotokolle"),
+    "columnar storage" -> Seq("spaltenspeicherung", "spaltenorientierte speicherung"),
+    "Corelib Buffer" -> Seq("corelib-puffer", "puffer"))
+
   /** Normalization applied to both alias index and detected surfaces
    * (mirrors reference query normalization, wikipedia_service.py:140-147). */
   def norm(s: String): String =

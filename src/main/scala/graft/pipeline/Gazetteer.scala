@@ -103,4 +103,10 @@ object Gazetteer {
 
   /** Standard gazetteer over all KB alias norms. */
   def fromKb(): Gazetteer = build(KB.labelRows.map(_.aliasNorm))
+
+  /** Language-aware gazetteer: detection patterns come from the configured
+   * language's LOCAL alias index (reference LANGUAGE=de detects German
+   * surfaces; translation happens later at link time, KB.labelsForLang). */
+  def fromKb(lang: String): Gazetteer =
+    build(KB.labelRowsLocal(lang).map(_.aliasNorm))
 }

@@ -128,6 +128,70 @@ object KB {
     spark.createDataset(labelRows)
   }
 
+  // ---- interlanguage support (reference LANGUAGE=de, settings.py:15) ----
+
+  /** Langlinks dimension (fromLang, titleFrom, toLang, titleTo), both
+   * directions — the broadcastable stand-in for the Wikipedia langlinks API
+   * the reference calls per title (wikipedia_service.py:31-87
+   * get_wikipedia_title_in_language). Entities without a de title have no
+   * row, exactly like a missing langlink. */
+  def langLinks(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    EntityUniverse.deTitles.toSeq.flatMap { case (en, de) =>
+      Seq(("en", en, "de", de), ("de", de, "en", en))
+    }.toDF("fromLang", "titleFrom", "toLang", "titleTo")
+  }
+
+  /** Language-LOCAL alias rows for `lang`: aliases resolve to the LOCAL
+   * canonical title (what that language's Wikipedia resolves to), before any
+   * translation. For entities with no localized title the en title doubles
+   * as the local one (proper nouns share titles across wikis). */
+  def labelRowsLocal(lang: String): Seq[KbLabel] =
+    if (lang == "en") labelRows
+    else EntityUniverse.all.flatMap { e =>
+      val localTitle = EntityUniverse.deTitles.getOrElse(e.title, e.title)
+      val aliases = (localTitle +:
+        EntityUniverse.deAliases.getOrElse(e.title, Nil)).distinct
+      aliases.zipWithIndex.map { case (alias, i) =>
+        KbLabel(
+          aliasNorm = EntityUniverse.norm(alias),
+          canonicalTitle = localTitle,
+          qid = e.qid,
+          aliasKind = if (i == 0) "exact" else "synonym",
+          entityType = e.entityType,
+          popularity = e.popularity,
+          lang = lang,
+          extract = s"$localTitle ist ein synthetischer Eintrag (${e.instanceOf.mkString(", ")}).",
+          categories = e.categories)
+      }
+    }
+
+  /**
+   * TRANSLATE-FIRST alias index for a configured pipeline language
+   * (mirrors wikipedia_service.py:31-87 and the dbpedia translate-first
+   * branch, dbpedia_service.py:49-101): resolve the alias in the local
+   * language, then translate the local canonical title to English through
+   * the langlinks dimension — one broadcast lookup join — falling back to
+   * the local title when no langlink exists. Downstream stages (wikidata by
+   * qid, DBpedia by English label, canonicalization) then behave exactly as
+   * in the English pipeline, which IS the reference's strategy: translate
+   * the title, then query the English endpoints. */
+  def labelsForLang(spark: SparkSession, lang: String): Dataset[KbLabel] = {
+    import spark.implicits._
+    if (lang == "en") labels(spark)
+    else {
+      import org.apache.spark.sql.functions._
+      val local = spark.createDataset(labelRowsLocal(lang))
+      val links = langLinks(spark)
+        .filter(col("fromLang") === lang && col("toLang") === "en")
+        .select(col("titleFrom"), col("titleTo"))
+      local.join(broadcast(links), local("canonicalTitle") === links("titleFrom"), "left")
+        .withColumn("canonicalTitle", coalesce(col("titleTo"), col("canonicalTitle")))
+        .drop("titleFrom", "titleTo")
+        .as[KbLabel]
+    }
+  }
+
   def wikidata(spark: SparkSession): Dataset[KbWikidata] = {
     import spark.implicits._
     spark.createDataset(wikidataRows)

@@ -81,6 +81,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!p.exists(x => x._2 == 5L || x._1 == 5L))
   }
 
+  test("simhash wide aggregate equals the exploded bit-vote formulation") {
+    // the round-2 exploded form is reconstructed here as the semantic oracle
+    // for the single-pass wide aggregate (32 conditional sums per id)
+    val docs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(TextOps.tokens(TextOps.normalized(col("text")))).as("w"))
+      .withColumn("hv", hash(col("w")))
+    val exploded = tok.select(col("id"), col("hv"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(hv, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy("id", "bit").agg(sum("vote").as("v"))
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = DedupOps.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide == exploded)
+    assert(wide.nonEmpty)
+  }
+
   test("dropExactDuplicates keeps the smallest id") {
     val kept = DedupOps.dropExactDuplicates(base).select("doc_id")
       .collect().map(_.getLong(0)).sorted
@@ -143,6 +166,29 @@ class SimOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((7L, 9999L)))
   }
+
+  test("cosineDupPairs equals brute force on planted duplicates at two SFs") {
+    // mirrors the driver's q_cosine_pairs exactly (planted shifted copy,
+    // threshold 0.95, default banding + >=2-band-hit rule) — the LSH plan
+    // must reproduce the full brute-force pair set, values included
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val e = graft.SparkTestBase.spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val planted = e.unionByName(
+        e.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+      val got = SimOps.cosineDupPairs(planted, threshold = 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val v = planted.select($"vec_id".as("id"),
+        SimOps.normalize($"embedding".cast("array<double>")).as("v"))
+      val brute = v.as("l").join(v.as("r"), col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"),
+          round(SimOps.dot(col("l.v"), col("r.v")), 6).as("sim"))
+        .filter($"sim" >= 0.95)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, s"$dir: got ${got.size} vs brute ${brute.size}")
+      assert(brute.nonEmpty, s"$dir brute oracle empty — vacuous test")
+    }
+  }
 }
 
 class SimilarityJoinSpec extends AnyFunSuite {
@@ -171,6 +217,19 @@ class SimilarityJoinSpec extends AnyFunSuite {
       assert(blocked == want, s"$dir: ${blocked.size} vs brute ${want.size}")
       assert(want.nonEmpty, s"$dir produced an empty oracle — test is vacuous")
     }
+  }
+
+  test("single-token spelling variants meet via char-3-gram blocking keys") {
+    import spark.implicits._
+    // "firebrick" vs "firebrik" share no whitespace token — the round-2
+    // token-only blocking silently dropped such pairs (ADVICE r2, medium)
+    val rows = Seq(
+      (1L, "firebrick", "B1"), (2L, "firebrik", "B1"),
+      (3L, "alpha beta", "B1"), (4L, "unrelated", "B2"))
+      .toDF("p_partkey", "p_name", "p_brand")
+    val out = SimilarityJoin.roSelfJoin(rows, "p_partkey", "p_name", Seq("p_brand"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
   }
 
   test("df cap drops only capped-token-dependent pairs (lossless at default)") {
