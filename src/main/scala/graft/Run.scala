@@ -17,7 +17,10 @@ import graft.pipeline._
  *   [--chunk-size=N --overlap=N]  reference TEXT_CHUNK_SIZE/OVERLAP (settings.py:24-26)
  *   [--training]                  write entity+relation JSONL (openai_service.py:133-209)
  *   [--compendium]                write per-doc compendium (compendium_service.py:9-89)
- *   [--allowed-types=A,B]         restrict entity types (prompt_utils.py:4-13)
+ *   [--allowed-types=A,B]         restrict entity types at extraction (prompt_utils.py:4-13)
+ *   [--language=de]               pipeline language: local-surface detection +
+ *                                 translate-first linking (settings.py:15,
+ *                                 wikipedia_service.py:31-87)
  *   [--generate --topics=T1,T2]   generate mode (main.py generate flow →
  *                                 generator.py:78-191): KB-driven pseudo-corpus
  *                                 per topic, everything inferred=implicit
@@ -55,7 +58,12 @@ object Run {
       kgcRounds = opts.get("kgc-rounds").map(_.toInt).getOrElse(0),
       runFuzzyDedup = !opts.contains("no-fuzzy"),
       generateMode = opts.contains("generate"),
-      inferImplicit = opts.contains("infer-implicit"))
+      inferImplicit = opts.contains("infer-implicit"),
+      language = opts.getOrElse("language", "en"),
+      // extraction-level restriction (the reference restricts the PROMPT, so
+      // disallowed entities never enter adjacency; filtering triples after
+      // relate would lose A–C edges across a disallowed B)
+      allowedTypes = opts.get("allowed-types").map(_.split(",").map(_.trim).toSeq))
 
     val topics: Option[org.apache.spark.sql.DataFrame] =
       if (opts.contains("generate")) {
@@ -74,22 +82,7 @@ object Run {
       .persist()
     val nDocs = corpus.count()
 
-    var result = Pipeline.run(spark, corpus, cfg)
-    // type restriction filter (reference ALLOWED_ENTITY_TYPES != "auto"):
-    // applied BEFORE canonicalization so the materialized canonical triples
-    // and the statistics both see the restricted set
-    opts.get("allowed-types").foreach { ts =>
-      val allowed = ts.split(",").map(_.trim).toSeq
-      import org.apache.spark.sql.functions.col
-      val filteredLinked = result.linked.filter(col("entityType").isin(allowed: _*))
-      val filteredTriples = result.triples
-        .filter(col("subjectType").isin(allowed: _*) && col("objectType").isin(allowed: _*))
-      result = result.copy(
-        linked = filteredLinked,
-        docEntities = result.docEntities.filter(col("entityType").isin(allowed: _*)),
-        triples = filteredTriples,
-        canonicalTriples = Canonicalize.canonicalTriples(filteredTriples, result.canonMap))
-    }
+    val result = Pipeline.run(spark, corpus, cfg)
 
     Materialize.writeStage(result.canonicalTriples.toDF(), "triples", outDir, resume = false)
     val nTriples = result.triples.count()
@@ -100,14 +93,19 @@ object Run {
           TrainingData.write(TrainingData.generationExamples(ts, result.docEntities),
             s"$outDir/training_generation")
         case None =>
-          TrainingData.write(TrainingData.entityExamples(corpus, result.docEntities),
+          // packaged entities carry the first-occurrence surface span as the
+          // citation (openai_service.py:158-173 extract-from-text fidelity)
+          TrainingData.write(TrainingData.entityExamples(corpus,
+            Link.packagedEntities(result.linked, result.docEntities)),
             s"$outDir/training_entities")
       }
       TrainingData.write(TrainingData.relationExamples(corpus, result.triples),
         s"$outDir/training_relations")
     }
     if (opts.contains("compendium"))
-      Compendium.perDocument(result.linked)
+      Compendium.perDocument(result.linked,
+        lengthBudget = opts.get("compendium-length").map(_.toInt).getOrElse(8000),
+        educational = opts.contains("educational"))
         .write.mode("overwrite").json(s"$outDir/compendium")
 
     val statsJson = Stats.statisticsJson(result.linked, result.docEntities, result.triples,

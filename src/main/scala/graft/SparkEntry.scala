@@ -393,6 +393,20 @@ object SparkEntry {
         .orderedBy(col("p_partkey"))
     }),
 
+    // ---- interlanguage translate-first lookup shape (§2.4; reference
+    // wikipedia_service.py:31-87, engine KB.labelsForLang): resolve locally,
+    // translate through a langlinks dim, fall back when no link exists ----
+    "q_translate_first" -> ((s, dir) => {
+      import s.implicits._
+      val links = (0 until 25).filter(_ % 3 == 0)
+        .map(k => (s"NATION_$k", s"LAND_$k")).toDF("n_name", "translated")
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .join(broadcast(links), Seq("n_name"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("translated"), col("n_name")).as("resolved_name"))
+        .orderedBy(col("n_nationkey"))
+    }),
+
     // ---- explicit skew handling (north_rule) ----
     "q_salted_agg" -> ((s, dir) => {
       graft.ops.Skew.saltedCount(t(s, dir, "lineitem"), Seq("l_returnflag"))
@@ -622,6 +636,15 @@ object SparkEntry {
         |  replace(regexp_extract(url, '/wiki/([^#?]+)', 1), '_', ' ') AS title,
         |  regexp_extract(url, '^https?://([a-z]{2})\.', 1) AS lang
         |FROM u ORDER BY p_partkey""".stripMargin,
+    "q_translate_first" ->
+      ("""WITH links(n_name, translated) AS (VALUES """ +
+        (0 until 25).filter(_ % 3 == 0)
+          .map(k => s"('NATION_$k', 'LAND_$k')").mkString(", ") +
+        """)
+          |SELECT n.n_nationkey, n.n_name,
+          |  COALESCE(l.translated, n.n_name) AS resolved_name
+          |FROM nation n LEFT JOIN links l ON n.n_name = l.n_name
+          |ORDER BY n.n_nationkey""".stripMargin),
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,

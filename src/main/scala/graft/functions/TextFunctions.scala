@@ -97,6 +97,14 @@ object TextFunctions {
   def normalizeQuery(c: Column): Column =
     trim(regexp_replace(replace(url_decode(c), lit("_"), lit(" ")), "[()]", ""))
 
+  /** Column-level mirror of the driver-side EntityUniverse.norm (lowercase,
+   * underscores → spaces, parens stripped, trimmed). EVERY join against a
+   * norm-keyed table (the DBpedia Lookup fallback, the alias index) must
+   * apply THIS on the probe side — `lower()` alone silently misses titles
+   * like "Group (mathematics)" (round-2 ADVICE). */
+  def labelNorm(c: Column): Column =
+    trim(regexp_replace(replace(lower(c), lit("_"), lit(" ")), "[()]", ""))
+
   /**
    * URL sanitizer (reference: entityextractor/utils/wiki_url_utils.py:3-14):
    * percent-encode ONLY the title part after the first "/wiki/", spaces to

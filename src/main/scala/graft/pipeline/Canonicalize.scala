@@ -107,9 +107,12 @@ object Canonicalize {
     val fallbackEdges = dbpediaLookup match {
       case Some(lookup) =>
         // entities whose qid misses the dim → label-keyed fallback join
+        // probe key mirrors EntityUniverse.norm (NOT bare lower) — the
+        // lookup table is norm-keyed; node ids stay lower()-keyed because
+        // they only ever join against themselves
         val misses = linked.filter($"qid".isNotNull)
           .join(broadcast(dbpedia.select($"qid")), Seq("qid"), "left_anti")
-          .select(lower($"entityName").as("labelNorm"),
+          .select(graft.functions.TextFunctions.labelNorm($"entityName").as("labelNorm"),
             concat(lit("n:"), lower($"entityName")).as("src"))
           .distinct()
         misses.join(broadcast(lookup.select($"labelNorm", $"resourceUri")), Seq("labelNorm"))
@@ -155,7 +158,7 @@ object Canonicalize {
     val fallback = dbpediaLookup match {
       case Some(lookup) =>
         titleQid.join(dbpedia.select($"qid"), Seq("qid"), "left_anti")
-          .select(lower($"canonicalTitle").as("labelNorm"),
+          .select(graft.functions.TextFunctions.labelNorm($"canonicalTitle").as("labelNorm"),
             concat(lit("n:"), lower($"canonicalTitle")).as("src"))
           .join(lookup.select($"labelNorm", $"resourceUri"), Seq("labelNorm"))
           .select($"src", concat(lit("d:"), $"resourceUri").as("dst"))

@@ -19,10 +19,37 @@ object Compendium {
    * preserves order) — array_distinct has exactly these semantics. */
   def dedupPreserveOrder(arr: Column): Column = array_distinct(arr)
 
-  /** Per-document compendium: (docId, compendium, references). */
-  def perDocument(linked: Dataset[LinkedEntity]): DataFrame = {
+  /**
+   * Per-document compendium: (docId, compendium, references).
+   *
+   * @param lengthBudget COMPENDIUM_LENGTH (reference settings.py:67, default
+   * 8000 chars): the assembled text is truncated at the last SENTENCE
+   * boundary (final '.') within the budget — never mid-sentence — falling
+   * back to a hard cut only for degenerate dot-free text
+   * (compendium_service.py:66-86 passes the budget to the summarizer; the
+   * deterministic stand-in enforces it on the assembly).
+   * @param educational COMPENDIUM_EDUCATIONAL_MODE (settings.py:68): the
+   * reference switches the summarizer prompt to a learner-oriented framing;
+   * the deterministic stand-in prefixes the equivalent framing header so the
+   * mode is visible and testable in the output.
+   */
+  def perDocument(linked: Dataset[LinkedEntity], lengthBudget: Int = 8000,
+      educational: Boolean = false): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
+    val assembled = array_join(
+      transform(col("ordered"), x => x.getField("wikipediaExtract")), " ")
+    val full =
+      if (educational) concat(lit("Overview for learners: "), assembled)
+      else assembled
+    val capped = substring(full, 1, lengthBudget)
+    // text after the last '.' of the capped prefix; removing it cuts at the
+    // final complete sentence
+    val afterLastDot = substring_index(capped, ".", -1)
+    val budgeted = when(length(full) <= lengthBudget, full)
+      .otherwise(when(length(afterLastDot) < length(capped),
+        capped.substr(lit(1), length(capped) - length(afterLastDot)))
+        .otherwise(capped))
     linked
       .filter($"wikipediaExtract".isNotNull)
       .groupBy($"docId")
@@ -32,8 +59,7 @@ object Compendium {
           .as("ordered"))
       .select(
         $"docId",
-        array_join(transform($"ordered", x => x.getField("wikipediaExtract")), " ")
-          .as("compendium"),
+        budgeted.as("compendium"),
         // numbered, order-preserving-deduped reference list
         transform(
           dedupPreserveOrder(transform($"ordered", x =>

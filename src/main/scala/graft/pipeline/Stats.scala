@@ -46,7 +46,8 @@ object Stats {
     val joined = dbpediaLookup match {
       case Some(lookup) => withQidJoins.join(
         broadcast(lookup.select(col("labelNorm"), lit(1).as("lkHit")).distinct()),
-        lower(docEntities("entityName")) === col("labelNorm"), "left")
+        graft.functions.TextFunctions.labelNorm(docEntities("entityName")) === col("labelNorm"),
+        "left")
       case None => withQidJoins.withColumn("lkHit", lit(null).cast("int"))
     }
     joined
@@ -155,13 +156,17 @@ object Stats {
    *
    * Assembled from already-aggregated small tables — driver-side collects of
    * dimension-sized results, never a corpus-scale collect. The reference
-   * emits entity_connections UNBOUNDED (all entities); `connectionsLimit`
-   * defaults to that for parity but callers at scale should cap it.
+   * emits entity_connections UNBOUNDED (all entities, orchestrator.py:581-590)
+   * — but an open-vocabulary corpus has one connections row per distinct
+   * entity, so the DEFAULT here is a top-10k cap (entityConnections orders
+   * by degree desc, so the cap keeps the most-connected entities, and the
+   * limit plans as TakeOrderedAndProject). Exact reference parity is the
+   * explicit caller choice `connectionsLimit = Int.MaxValue`.
    */
   def statisticsJson(linked: Dataset[LinkedEntity], docEntities: DataFrame,
       triples: Dataset[Triple], wikidata: Dataset[KbWikidata],
       dbpedia: Dataset[KbDbpedia], dbpediaLookup: Option[DataFrame] = None,
-      topK: Int = 10, connectionsLimit: Int = Int.MaxValue): String = {
+      topK: Int = 10, connectionsLimit: Int = 10000): String = {
     val types = typesDistribution(docEntities).collect()
       .map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""").mkString("{", ", ", "}")
     val share = linkedShares(docEntities, wikidata, dbpedia, dbpediaLookup).collect().head

@@ -23,14 +23,24 @@ object TrainingData {
     struct(lit(role).as("role"), content.as("content"))
 
   /** Per-document assistant content: semicolon entity lines in
-   * first-occurrence order (shared by the extract and generate sinks). */
+   * first-occurrence order (shared by the extract and generate sinks).
+   *
+   * The 4th field is the CITATION — the exact surface span from the document
+   * at the entity's first occurrence (reference: openai_service.py:158-173
+   * emits the entity dict's citation, which the extractor filled with the
+   * supporting text span). Inputs carrying a `citation` column (the packaged
+   * entities, Link.packagedEntities) use it; generate-mode inputs have no
+   * document span, so the entity name stands in — same as the reference's
+   * generator flow, where no source text exists. */
   private def assistantEntityLines(docEntities: DataFrame): DataFrame =
     docEntities
       .withColumn("line", concat_ws("; ",
         col("entityName"), col("entityType"),
         concat(lit("https://en.wikipedia.org/wiki/"),
           replace(col("entityName"), lit(" "), lit("_"))),
-        col("entityName")))
+        if (docEntities.columns.contains("citation"))
+          coalesce(col("citation"), col("entityName"))
+        else col("entityName")))
       .groupBy(col("docId"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("firstPos"), col("line")))),

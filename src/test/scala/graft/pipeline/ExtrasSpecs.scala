@@ -155,6 +155,57 @@ class TrainingCompendiumSpec extends AnyFunSuite {
     assert(lines.count() > 0 && lines.filter($"t".isNull).count() == 0)
   }
 
+  test("entity training citations equal the DOCUMENT SPAN, not the entity name") {
+    // packaged entities carry the first-occurrence surface as citation
+    // (openai_service.py:158-173). The ambiguous plant writes the surface
+    // "Mercury" for the entity "Mercury Queue" — extract-from-text fidelity
+    // means the training line must cite "Mercury" (round-2 VERDICT #3 of
+    // "What's missing" / task 9).
+    val packaged = Link.packagedEntities(result.linked, result.docEntities)
+    // plan-golden: every packaged citation equals the PLANTED surface span
+    // of that entity in that document (computable without the pipeline)
+    val expected = (0L until 50L).flatMap { id =>
+      val p = Corpus.plan(42L, 50L, 5, id)
+      p.plants.map(pl => (s"${p.repo}:${p.path}", pl.title) -> pl.surface)
+    }.toMap
+    val got = packaged.select($"docId", $"entityName", $"citation").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+    assert(got.nonEmpty)
+    got.foreach { case (k, cit) =>
+      assert(expected.get(k).contains(cit), s"$k cited '$cit', planted '${expected.get(k)}'")
+    }
+    // the ambiguity plant writes surface "Mercury" for entity
+    // "Mercury Queue" — the JSONL citation must be the document span,
+    // not the entity name (openai_service.py:158-173)
+    val ambiguous = expected.collect {
+      case ((doc, "Mercury Queue"), "Mercury") => doc
+    }
+    assert(ambiguous.nonEmpty, "no ambiguous Mercury plant in this corpus seed")
+    val ex = TrainingData.entityExamples(corpus, packaged)
+    val lines = ex.select(explode($"messages").as("m"))
+      .filter($"m.role" === "assistant")
+      .select(explode(split($"m.content", "\n")).as("line"))
+      .select(graft.functions.TextFunctions.parseEntityLine($"line").as("e"))
+      .select($"e.name", $"e.citation")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(lines.contains(("Mercury Queue", "Mercury")),
+      "JSONL must carry the 'Mercury' span citation for the ambiguous plant")
+  }
+
+  test("compendium honors the length budget at sentence boundaries; educational mode framed") {
+    val budget = 120
+    val comp = Compendium.perDocument(result.linked, lengthBudget = budget)
+    val rows = comp.select($"compendium").collect().map(_.getString(0))
+    assert(rows.nonEmpty)
+    rows.foreach { c =>
+      assert(c.length <= budget, s"over budget: ${c.length}")
+      assert(c.endsWith("."), s"not a sentence boundary: ...${c.takeRight(20)}")
+    }
+    val edu = Compendium.perDocument(result.linked, lengthBudget = 8000,
+      educational = true).select($"compendium").head().getString(0)
+    assert(edu.startsWith("Overview for learners: "))
+  }
+
   test("compendium: extracts in first-occurrence order, refs deduped order-preserving") {
     val comp = Compendium.perDocument(result.linked)
     val row = comp.orderBy($"docId").head()

@@ -86,9 +86,9 @@ class PipelineGoldenSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  test("kgc rounds add only novel KB-lifted triples") {
+  test("kgc rounds add only novel KB-lifted triples with KB-enriched types") {
     val base = result.triples
-    val withKgc = Pipeline.kgc(spark, base, KB.wikidata(spark), rounds = 3)
+    val withKgc = Pipeline.kgc(spark, base, KB.wikidata(spark), KB.labels(spark), rounds = 3)
     val added = withKgc.join(base.select("subject", "predicate", "obj"),
       Seq("subject", "predicate", "obj"), "left_anti").as[Triple].collect()
     assert(added.forall(_.inferred == PipelineSchema.InferredImplicit))
@@ -96,6 +96,32 @@ class PipelineGoldenSpec extends AnyFunSuite {
     val n = withKgc.count()
     val nk = withKgc.select("subject", "predicate", "obj").distinct().count()
     assert(n == nk)
+  }
+
+  test("kgc enriches lifted-triple endpoint types from the KB label dimension") {
+    // targeted base where the lift is guaranteed novel: Mistgate's KB
+    // part-of (Lumina Platform) is absent from the base graph
+    val base = Seq(Triple("Mistgate", EntityUniverse.PredUses, "Brookfall",
+      PipelineSchema.InferredExplicit, "SOFTWARE", "SOFTWARE",
+      PipelineSchema.InferredExplicit, PipelineSchema.InferredExplicit,
+      "t1", "md")).toDS()
+    val withKgc = Pipeline.kgc(spark, base, KB.wikidata(spark), KB.labels(spark), rounds = 2)
+    val added = withKgc.join(base.select("subject", "predicate", "obj"),
+      Seq("subject", "predicate", "obj"), "left_anti").as[Triple].collect()
+    assert(added.nonEmpty)
+    val lifted = added.find(t =>
+      t.subject == "Mistgate" && t.predicate == EntityUniverse.PredPartOf &&
+        t.obj == "Lumina Platform")
+    assert(lifted.nonEmpty, added.toSeq)
+    // KB-known endpoints must never carry UNKNOWN
+    // (relationship_inference.py:137-142; round-2 VERDICT "What's wrong" #5)
+    assert(lifted.get.subjectType == "SOFTWARE" && lifted.get.objectType == "SOFTWARE")
+    added.foreach { t =>
+      if (EntityUniverse.byTitle.contains(t.subject))
+        assert(t.subjectType == EntityUniverse.byTitle(t.subject).entityType, t)
+      if (EntityUniverse.byTitle.contains(t.obj))
+        assert(t.objectType == EntityUniverse.byTitle(t.obj).entityType, t)
+    }
   }
 
   test("materialize writes deterministic lineage and resume skips completed stage") {
