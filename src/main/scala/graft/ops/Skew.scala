@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /**
  * Explicit skew handling (north_rule: "partitioning / shuffle / skew handled
@@ -15,6 +16,36 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** MapType cannot feed `hash()` (analysis error: unhashable); structs and
+   * arrays can unless they CONTAIN a map. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /**
+   * Retry-safe per-row salt: a pure function of the row's hashable columns
+   * PLUS the physical partition id. Either alone is insufficient:
+   *  - row-hash only: byte-identical duplicate rows (common in count-by-key
+   *    inputs with few columns) all land in one bucket, silently re-creating
+   *    the skew the salt exists to break;
+   *  - partition id only: one giant scan partition of the hot key still maps
+   *    to one bucket.
+   * `spark_partition_id()` is stable under task retry — scan partitions are
+   * deterministic file splits and shuffle partition assignment is a pure
+   * function of the key — unlike `monotonically_increasing_id`/`rand`, whose
+   * values depend on nondeterministic intra-partition row order. Identical
+   * rows WITHIN one partition still share a salt, but those collapse in that
+   * task's map-side partial aggregate before the shuffle, so no reducer ever
+   * sees them as volume.
+   */
+  private[graft] def rowSalt(df: DataFrame, saltBuckets: Int): Column = {
+    val cols = df.schema.fields.withFilter(f => hashable(f.dataType)).map(f => col(f.name))
+    pmod(hash((cols :+ spark_partition_id()): _*), lit(saltBuckets))
+  }
+
   /**
    * Two-phase salted count-style aggregation: phase 1 aggregates on
    * (key, salt) — spreading a hot key over `saltBuckets` reducers — phase 2
@@ -22,14 +53,7 @@ object Skew {
    * supplied as (partialAgg, mergeAgg) column pairs over the same name.
    */
   def saltedCount(df: DataFrame, keyCols: Seq[String], saltBuckets: Int = 16): DataFrame = {
-    // retry-safe salt: a pure function of the row's own columns, so a task
-    // retry (even after a repartition) re-derives the identical salt —
-    // unlike monotonically_increasing_id, whose value depends on partition
-    // layout. Fully identical rows share a salt, which only concentrates
-    // load when the hot key's rows are byte-identical duplicates (not the
-    // hot-key case this defends against).
-    val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val salted = df.withColumn("_salt", rowSalt(df, saltBuckets))
     salted
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(count(lit(1)).as("_partial"))
@@ -59,9 +83,8 @@ object Skew {
    */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
-    // same retry-safe construction as saltedCount: salt from the row itself
-    val saltedProbe = probe.withColumn("_salt",
-      pmod(hash(probe.columns.map(col): _*), lit(saltBuckets)))
+    // same retry-safe construction as saltedCount (rowSalt doc)
+    val saltedProbe = probe.withColumn("_salt", rowSalt(probe, saltBuckets))
     val replicatedBuild = build.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedProbe.join(replicatedBuild, Seq(key, "_salt"), joinType).drop("_salt")

@@ -113,6 +113,28 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("byte-identical duplicate rows across partitions spread over salt buckets") {
+    // the round-2 salt (hash of row columns only) mapped ALL identical rows
+    // to one bucket — a no-op exactly on count-by-key inputs with few
+    // columns. With spark_partition_id mixed in, each scan partition gets
+    // its own bucket for the duplicated row.
+    val dupes = spark.range(8000).repartition(16).select(lit("hot").as("k"), lit(1L).as("v"))
+    val buckets = dupes.select(graft.ops.Skew.rowSalt(dupes, 16).as("s"))
+      .distinct().count()
+    assert(buckets >= 8, s"expected identical rows to spread, got $buckets buckets")
+    val counted = Skew.saltedCount(dupes, Seq("k")).collect()
+    assert(counted.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("hot" -> 8000L))
+  }
+
+  test("saltedCount tolerates unhashable MapType columns") {
+    val withMap = skewed.withColumn("m", map(lit("a"), $"v"))
+    val plain = skewed.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(withMap.toDF(), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("saltedJoin equals plain join") {
     val build = Seq(("hot", 1), ("k5", 2), ("missing", 3)).toDF("k", "tag")
     val plain = skewed.join(build, Seq("k")).groupBy("k", "tag").count()
