@@ -19,10 +19,20 @@ object Bench {
     val corpus = Corpus.materialize(spark, s"/tmp/graft-corpus-$nFiles", nFiles,
       numRepos = 200, seed = 42L, partitions = spark.sparkContext.defaultParallelism * 2)
     val nDocs = corpus.count()
+    // phase timers for scaling forensics (stderr, env-gated, off in driver runs)
+    val trace = sys.env.contains("GRAFT_STAGE_TIMES")
+    def phase[T](label: String)(f: => T): T = {
+      val p0 = System.nanoTime()
+      val r = f
+      if (trace) System.err.println(f"  [phase] $label: ${(System.nanoTime() - p0) / 1e9}%.2f s")
+      r
+    }
     val t0 = System.nanoTime()
-    val result = Pipeline.run(spark, corpus)
-    result.canonicalTriples.write.format("noop").mode("overwrite").save()
-    val nTriples = result.triples.count()
+    val result = phase("Pipeline.run (plan + docEntities count + canonMap ckpt)")(
+      Pipeline.run(spark, corpus))
+    phase("canonical noop write")(
+      result.canonicalTriples.write.format("noop").mode("overwrite").save())
+    val nTriples = phase("triples count")(result.triples.count())
     val dt = (System.nanoTime() - t0) / 1e9
     result.linked.unpersist()
     result.docEntities.unpersist()
