@@ -10,11 +10,17 @@ object PerfProbe {
     val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("q_dedup_exact"))
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // session config mirrors Bench exactly — probing under different knobs
+    // once hid a 10x discrepancy
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-perf-probe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -156,9 +156,10 @@ object Corpus {
       // row group), silently serializing the narrow detect→link chain for
       // any wider session that reads the table — measured as scaling
       // efficiency 0.52 instead of ~1.0 at 2 vs 8 cores. Fix the file count
-      // to the corpus size (~30k rows ≈ 2.5 MB per file) so the scan always
-      // has ample splits, exactly like sizing files on a production table.
-      val nOutFiles = math.max(16, (numFiles / 30000L).toInt)
+      // to the corpus size (~30k rows ≈ 2.5 MB per file) with a floor of 64
+      // (≥ the widest local session, so small corpora still fan out across
+      // local[32]) — exactly like sizing files on a production table.
+      val nOutFiles = math.max(64, (numFiles / 30000L).toInt)
       generate(spark, numFiles, numRepos, seed, partitions)
         .repartition(nOutFiles)
         .write.mode("overwrite").parquet(s"$dir/corpus")
