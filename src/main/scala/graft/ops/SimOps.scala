@@ -190,14 +190,34 @@ object SimOps {
    */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 32, rowsPerBand: Int = 8, minBandHits: Int = 2,
+      bucketCap: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"),
       normalize(col(vecCol).cast("array<double>")).as("v"))
     // band signatures in one codegen pass per row (sign bits are
     // scale-invariant, so signatures of normalized vectors equal raw ones)
-    val banded = vecs
+    val bandedAll = vecs
       .select(col("id"), posexplode(lsh_band_sigs(col("v"), bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+    // bucket-size cap (the same SparkER-style blocking-key valve as
+    // jaccardPairs.dfCap): a (band, sig) bucket of m ids costs m²/2 join
+    // rows, and on CLUSTERED embedding corpora — the norm, not the
+    // exception — a dense cluster's intra-cluster pairs all share buckets,
+    // growing candidates with Σ cluster². Dropping buckets above the cap
+    // bounds the join at bands·cap²/2 per bucket regardless of cluster
+    // structure. Recall cost is explicit and local: a true pair loses only
+    // the capped bands' collision chances, and a pair at the threshold
+    // expects ≈ bands·q ≈ 13.7 of 32 band hits (q = p^rowsPerBand ≈ 0.427
+    // at c = 0.95), so it survives minBandHits = 2 unless nearly ALL its
+    // buckets are over-cap — i.e. the pair sits inside a giant near-dup
+    // cluster, where transitive closure through any surviving co-member
+    // still dedups it. The default cap is lossless on the driver data;
+    // size it to executor memory at the target scale.
+    val bucketSizes = bandedAll.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("m"))
+    val banded = bandedAll.join(bucketSizes.filter(col("m") <= bucketCap),
+      Seq("band", "sig"))
+      .select(col("id"), col("band"), col("sig"))
     // the (band, sig)-bucketed self-join streams candidate id pairs; the
     // groupBy both DEDUPES (a, b) and counts band collisions map-side —
     // the minBandHits filter is free

@@ -189,6 +189,28 @@ class SimOpsSpec extends AnyFunSuite {
       assert(brute.nonEmpty, s"$dir brute oracle empty — vacuous test")
     }
   }
+
+  test("cosineDupPairs bucketCap bounds candidates: subset out, exact dups survive a tight cap") {
+    val e = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = e.unionByName(
+      e.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val full = SimOps.cosineDupPairs(planted, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap far below the cluster bucket sizes: output must stay a SUBSET
+    // (capping only removes candidates, never fabricates pairs), and the
+    // planted exact duplicates — which collide in every band — must retain
+    // >= minBandHits small-bucket collisions and survive
+    val capped = SimOps.cosineDupPairs(planted, threshold = 0.95, bucketCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full))
+    val exactDups = planted.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ < 1000000L).map(id => (id, id + 1000000L)).toSet
+    val kept = (capped intersect exactDups).size.toDouble / exactDups.size
+    info(s"exact-dup survival under cap=50: $kept")
+    assert(kept >= 0.9, s"exact dups should survive a tight bucket cap, kept=$kept")
+  }
 }
 
 class SimilarityJoinSpec extends AnyFunSuite {
