@@ -43,6 +43,29 @@ object PipelineProfile {
       numRepos = 200, seed = 42L, partitions = spark.sparkContext.defaultParallelism * 2)
     time("corpus count")(corpus.count())
 
+    // GRAFT_FINE=1: decompose detect+link into sub-stages (each action
+    // re-runs the prefix, so read DELTAS between lines, not absolutes)
+    if (sys.env.contains("GRAFT_FINE")) {
+      val cfg = PipelineConfig()
+      val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb(cfg.language))
+      val labels = KB.labelsForLang(spark, cfg.language)
+      (0 until reps).foreach { rep =>
+        println(s"== fine rep $rep (cores=$cpus files=$nFiles) ==")
+        time("scan only (sum content length)")(
+          corpus.select(sum(length(col("content")))).head())
+        val ch = Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap)
+        time("chunks (count)")(ch.count())
+        val raw = Detect.rawMentions(ch, gaz)
+        time("chunks+trie rawMentions (count)")(raw.count())
+        time("… + distinct (count)")(raw.drop("chunkId").distinct().count())
+        val linked = Link.link(raw, labels)
+        time("… + broadcast link (count)")(linked.count())
+        time("… + docEntities groupBy (count)")(Link.docEntities(linked).count())
+      }
+      spark.stop()
+      return
+    }
+
     (0 until reps).foreach { rep =>
       println(s"== rep $rep (cores=$cpus files=$nFiles) ==")
       val cfg = PipelineConfig()

@@ -69,7 +69,19 @@ object Link {
   def link(mentions: Dataset[Mention], labels: Dataset[KbLabel]): Dataset[LinkedEntity] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val uniq = mentions.drop("chunkId").distinct()
+    // ONE shuffle for the whole detect→link→docEntities chain: hash by
+    // docId once, and every downstream clustering key CONTAINS docId, so
+    // HashPartitioning(docId) satisfies them all — the distinct here plans
+    // as a single no-exchange HashAggregate, the broadcast link join
+    // preserves the partitioning, and docEntities' groupBy(docId, …) runs
+    // exchange-free too. The naive form shuffled the full mention stream
+    // TWICE (distinct on all columns, then the per-doc group); measured
+    // ~25% of the 8-core pipeline wall. Cost: overlap duplicates (same
+    // mention seen by two adjacent chunks, a few % of rows) now travel
+    // through the one shuffle instead of collapsing map-side — strictly
+    // cheaper than a second full-stream exchange. Per-doc skew is bounded
+    // by document length, the same bound docEntities already requires.
+    val uniq = mentions.drop("chunkId").repartition($"docId").distinct()
     uniq.join(broadcast(bestPerAlias(labels)), Seq("aliasNorm"), "left")
       .select(
         $"docId", $"repo", $"path", $"lang", $"surface",

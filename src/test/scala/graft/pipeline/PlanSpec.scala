@@ -58,6 +58,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && !plan.contains("Window"))
   }
 
+  test("detect→link→docEntities rides ONE mention-stream shuffle") {
+    // HashPartitioning(docId) must satisfy the distinct AND the per-doc
+    // groupBy (docId is a subset of both clustering key sets): exactly one
+    // non-broadcast Exchange in the whole chain
+    val plan = planOf(Link.docEntities(Link.link(mentions, KB.labels(spark))))
+    // dimension-sized exchanges (bestPerAlias groupBy inside the broadcast
+    // subtree) are fine; the MENTION stream — keyed by docId — must shuffle
+    // exactly once
+    val docShuffles = "Exchange hashpartitioning\\(docId".r.findAllIn(plan).size
+    assert(docShuffles == 1,
+      s"expected exactly 1 docId exchange, found $docShuffles in:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join over big inputs") {
     val dir = "/root/testdata/sf0.001"
     graft.SparkEntry.queries.foreach { case (name, fn) =>
