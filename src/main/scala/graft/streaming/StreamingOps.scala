@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.pipeline._
 
 /**
@@ -52,6 +52,98 @@ object StreamingOps {
         ()
       }
       .start()
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  /** One event of the sessionization stream (subset of the events table). */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double)
+
+  /** Open-session state carried across micro-batches. */
+  final case class OpenSession(session_start: java.sql.Timestamp,
+      lastSec: Long, n_events: Long, total_value: Double)
+
+  /** A closed session — identical shape to the batch sessionizer's output
+   * (q_sessionize) minus the per-user ordinal. */
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def round2(d: Double): Double =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /**
+   * Gap-based event-time sessionization as a STATEFUL streaming operator
+   * (SURVEY.md §2.9 / brief: `flatMapGroupsWithState` for custom state): a
+   * session closes when the floor-second gap between consecutive events of a
+   * user exceeds `gapSeconds` — the exact semantics of the batch
+   * sessionizer (q_sessionize) — with open sessions carried in `GroupState`
+   * across micro-batches and flushed by event-time timeout once the
+   * watermark passes their gap window.
+   *
+   * Scale shape: state is ONE fixed-width row per active user key (no event
+   * buffering — events fold into (start, last, n, sum) on arrival), so state
+   * size is bounded by concurrent users, not traffic. Within a micro-batch
+   * the group's events are sorted by (event-time, event_id) — Spark does not
+   * order the group iterator — which bounds per-batch memory by the largest
+   * single user's batch slice, the same bound any per-user aggregation has.
+   *
+   * Requires a watermark on `ts` (EventTimeTimeout). Late events older than
+   * the watermark may be dropped by the engine — the caller picks the
+   * lateness budget; StreamingSpec pins stream == batch equality on
+   * time-split input.
+   */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapSeconds: Long = 1800,
+      watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionFunc(gapSeconds))
+  }
+
+  private def sessionFunc(gapSeconds: Long)(userId: Long,
+      events: Iterator[SessionEvent], state: GroupState[OpenSession])
+      : Iterator[UserSession] = {
+    def emit(s: OpenSession): UserSession =
+      UserSession(userId, s.session_start, s.n_events, round2(s.total_value))
+    if (state.hasTimedOut) {
+      // watermark passed the open session's gap window: it can never be
+      // extended again — flush it
+      val out = state.getOption.map(emit).toList
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.toIndexedSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var open = state.getOption
+      sorted.foreach { e =>
+        val sec = Math.floorDiv(epochMicros(e.ts), 1000000L)
+        open match {
+          case Some(s) if sec - s.lastSec <= gapSeconds =>
+            open = Some(s.copy(lastSec = sec, n_events = s.n_events + 1,
+              total_value = s.total_value + e.value))
+          case Some(s) =>
+            closed += emit(s)
+            open = Some(OpenSession(e.ts, sec, 1L, e.value))
+          case None =>
+            open = Some(OpenSession(e.ts, sec, 1L, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // fire once the watermark passes last-event + gap; clamp above the
+        // current watermark (a user idle relative to the global stream may
+        // already be past its window — fire at the next trigger)
+        val target = (s.lastSec + gapSeconds + 1) * 1000L
+        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+      }
+      closed.iterator
+    }
   }
 
   /** Read-side dedup for the append-only stream output. Exact (s,p,o) dedup

@@ -27,6 +27,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization equals the batch sessionizer across micro-batches") {
+    import StreamingOps.{SessionEvent, UserSession}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .select($"user_id", $"ts", $"event_id", $"value".cast("double"))
+
+    // batch oracle: q_sessionize's exact semantics, minus the per-user ordinal
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val batch = events
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("is_new", when($"prev_ts".isNull
+        || $"ts".cast("long") - $"prev_ts".cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum($"is_new").over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+
+    // stream input: three time-split files (every event in file k+1 is later
+    // than every event in file k, so a 0s watermark drops nothing), plus a
+    // far-future sentinel event that advances the watermark past every real
+    // session's gap window — flushing all open sessions via timeout
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val byTime = events.orderBy("ts", "event_id").collect()
+    val slices = Seq(byTime.take(byTime.length / 3),
+      byTime.slice(byTime.length / 3, 2 * byTime.length / 3),
+      byTime.drop(2 * byTime.length / 3))
+    val maxTs = byTime.last.getTimestamp(1).getTime
+    slices.foreach { rows =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), events.schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1050) // distinct file mtimes => deterministic batch order
+    }
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), -1L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    sentinel.coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir).as[SessionEvent]
+    val q = StreamingOps.sessionizeStateful(stream)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").filter($"user_id" >= 0)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("incremental KG over micro-batches equals the batch pipeline triples") {
     val corpus = Corpus.generate(spark, 120L, numRepos = 10, seed = 42L, partitions = 4)
     val batchTriples = Pipeline.run(spark, corpus).triples
