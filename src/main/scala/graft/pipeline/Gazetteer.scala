@@ -28,18 +28,53 @@ final class Gazetteer private (
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
+  /**
+   * Dense DFA over the ASCII plane: delta(s)(c) resolves goto+fail in TWO
+   * array loads — the map-based fail-chain walk costs a boxed hash lookup
+   * per step and dominated the detect stage (~6–8 s of the 8-core 2M-file
+   * run). `@transient lazy`: rebuilt once per executor JVM after broadcast
+   * deserialization (states × 128 ints; ~1 MB per 2k states) instead of
+   * shipping it — and a dictionary large enough to make the dense table a
+   * memory problem (tens of millions of states) should ship the sparse
+   * automaton anyway, which this layout preserves. Non-ASCII input chars
+   * take the original sparse fail-walk; patterns may contain them freely.
+   */
+  @transient private lazy val delta: Array[Array[Int]] = {
+    val d = Array.ofDim[Int](next.length, 128)
+    var c = 0
+    while (c < 128) { d(0)(c) = next(0).getOrElse(c.toChar, 0); c += 1 }
+    // BFS order: fail(r) is strictly shallower, so delta(fail(r)) is ready
+    val queue = new java.util.ArrayDeque[Int]()
+    next(0).values.foreach(queue.add(_))
+    while (!queue.isEmpty) {
+      val r = queue.poll()
+      var ch = 0
+      while (ch < 128) {
+        d(r)(ch) = next(r).getOrElse(ch.toChar, d(fail(r))(ch))
+        ch += 1
+      }
+      next(r).values.foreach(queue.add(_))
+    }
+    d
+  }
+
   /** All word-boundary-valid matches, reduced to non-overlapping
    * longest-match-wins (leftmost-longest), sorted by start offset. */
   def findMentions(text: String): Vector[Match] = {
     val raw = Vector.newBuilder[Match]
+    val dfa = delta
     var state = 0
     var i = 0
     val n = text.length
     while (i < n) {
       val c = Character.toLowerCase(text.charAt(i))
-      var s = state
-      while (s != 0 && !next(s).contains(c)) s = fail(s)
-      state = next(s).getOrElse(c, 0)
+      if (c < 128) {
+        state = dfa(state)(c)
+      } else {
+        var s = state
+        while (s != 0 && !next(s).contains(c)) s = fail(s)
+        state = next(s).getOrElse(c, 0)
+      }
       if (outputs(state).nonEmpty) {
         outputs(state).foreach { p =>
           val start = i + 1 - patterns(p).length

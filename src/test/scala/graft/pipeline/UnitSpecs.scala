@@ -30,6 +30,49 @@ class GazetteerSpec extends AnyFunSuite {
     assert(ms.map(m => (m.start, m.end)) == Vector((3, 8), (12, 17)))
     assert(ms.forall(m => text.substring(m.start, m.end).equalsIgnoreCase("veldt")))
   }
+
+  test("non-ASCII patterns and text exercise the sparse fallback identically") {
+    // the dense-DFA fast path covers chars < 128; umlaut patterns (the
+    // multilingual de surfaces) must flow through the sparse fail-walk with
+    // the same boundary/longest-match semantics, including mid-pattern
+    // transitions between the two paths
+    val g = Gazetteer.build(Seq("brücke", "große brücke", "veldt"))
+    val text = "Die Große Brücke neben veldt; brücken is not a hit, Brücke is."
+    val ms = g.findMentions(text)
+    assert(ms.map(_.pattern) == Vector("große brücke", "veldt", "brücke"))
+    assert(ms.forall(m => text.substring(m.start, m.end)
+      .equalsIgnoreCase(m.pattern) || m.pattern == "große brücke"))
+    // offsets exact also across multi-byte-free Char handling
+    assert(text.substring(ms.head.start, ms.head.end).equalsIgnoreCase("Große Brücke"))
+  }
+
+  test("dense-DFA path equals a brute-force scan on random ASCII word soup") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "alphabeta", "x1", "y_z")
+    val pats = Seq("alpha", "beta", "alphabeta", "x1")
+    val g = Gazetteer.build(pats)
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val text = (0 until 30).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(rnd.nextBoolean().toString.take(1)) // weird separators too
+      val got = g.findMentions(text).map(m => (m.start, m.end, m.pattern))
+      // brute force: all boundary-valid occurrences, leftmost-longest
+      def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+      val low = text.toLowerCase
+      val all = pats.flatMap { p =>
+        Iterator.iterate(low.indexOf(p))(i => low.indexOf(p, i + 1))
+          .takeWhile(_ >= 0)
+          .filter { i =>
+            (i == 0 || !isWord(text.charAt(i - 1))) &&
+            (i + p.length >= text.length || !isWord(text.charAt(i + p.length)))
+          }
+          .map(i => (i, i + p.length, p)).toList
+      }.sortBy(m => (m._1, -(m._2 - m._1)))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var lastEnd = -1
+      all.foreach { m => if (m._1 >= lastEnd) { kept += m; lastEnd = m._2 } }
+      assert(got == kept.toVector, s"text=$text")
+    }
+  }
 }
 
 class RatcliffObershelpSpec extends AnyFunSuite {
