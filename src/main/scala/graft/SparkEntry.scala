@@ -393,18 +393,18 @@ object SparkEntry {
         .orderedBy(col("p_partkey"))
     }),
 
-    // ---- interlanguage translate-first lookup shape (§2.4; reference
-    // wikipedia_service.py:31-87, engine KB.labelsForLang): resolve locally,
-    // translate through a langlinks dim, fall back when no link exists ----
+    // ---- interlanguage translate-first linking (§2.4; reference
+    // wikipedia_service.py:31-87): the ENGINE's own langlinks path —
+    // KB.labelsForLang resolves each de alias to its local canonical title,
+    // then translates to English through one broadcast langlinks join,
+    // falling back to the local title when no langlink exists. The oracle
+    // mirrors the same fixture rows (KB.labelRowsLocal("de") + langlinks)
+    // as VALUES tables and replays the join in SQL. ----
     "q_translate_first" -> ((s, dir) => {
-      import s.implicits._
-      val links = (0 until 25).filter(_ % 3 == 0)
-        .map(k => (s"NATION_$k", s"LAND_$k")).toDF("n_name", "translated")
-      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-        .join(broadcast(links), Seq("n_name"), "left")
-        .select(col("n_nationkey"), col("n_name"),
-          coalesce(col("translated"), col("n_name")).as("resolved_name"))
-        .orderedBy(col("n_nationkey"))
+      graft.pipeline.KB.labelsForLang(s, "de")
+        .select(col("aliasNorm").as("alias_norm"),
+          col("canonicalTitle").as("canonical_title"), col("qid"))
+        .orderedBy(col("alias_norm"), col("qid"))
     }),
 
     // ---- explicit skew handling (north_rule) ----
@@ -417,11 +417,13 @@ object SparkEntry {
         .orderedBy(col("l_returnflag"))
     }),
 
-    // ---- multimodal plumbing (stubbed codec; deterministic) ----
+    // ---- multimodal columns (REAL PNG/BMP/WAV codecs via javax.imageio +
+    // RIFF chunk walk; video = declared minimal container) ----
     "q_media_decode" -> ((s, dir) => {
       MediaOps.decode(MediaOps.generate(s, 300)).toDF()
-        .select(col("mediaId"), col("kind"), col("width"), col("height"),
-          col("sampleRate"), col("frames"), col("byteLen"), col("checksum"))
+        .select(col("mediaId"), col("kind"), col("format"), col("width"),
+          col("height"), col("sampleRate"), col("frames"), col("byteLen"),
+          col("checksum"))
         .orderedBy(col("mediaId"))
     }),
     "q_media_frames" -> ((s, dir) => {
@@ -636,15 +638,7 @@ object SparkEntry {
         |  replace(regexp_extract(url, '/wiki/([^#?]+)', 1), '_', ' ') AS title,
         |  regexp_extract(url, '^https?://([a-z]{2})\.', 1) AS lang
         |FROM u ORDER BY p_partkey""".stripMargin,
-    "q_translate_first" ->
-      ("""WITH links(n_name, translated) AS (VALUES """ +
-        (0 until 25).filter(_ % 3 == 0)
-          .map(k => s"('NATION_$k', 'LAND_$k')").mkString(", ") +
-        """)
-          |SELECT n.n_nationkey, n.n_name,
-          |  COALESCE(l.translated, n.n_name) AS resolved_name
-          |FROM nation n LEFT JOIN links l ON n.n_name = l.n_name
-          |ORDER BY n.n_nationkey""".stripMargin),
+    "q_translate_first" -> translateFirstOracle,
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -706,4 +700,25 @@ object SparkEntry {
 
   private def duckList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replay of the engine's translate-first join: the de-local alias
+   * rows and the de→en langlinks rows (the exact fixture content behind
+   * KB.labelsForLang(spark, "de")) as VALUES tables, joined and coalesced the
+   * same way. Entities without a langlink keep their local title — the
+   * missing-langlink fallback is part of what's being verified. */
+  private def translateFirstOracle: String = {
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val localRows = graft.pipeline.KB.labelRowsLocal("de")
+      .map(l => s"(${q(l.aliasNorm)}, ${q(l.canonicalTitle)}, ${q(l.qid)})")
+      .mkString(", ")
+    val linkRows = graft.pipeline.EntityUniverse.deTitles.toSeq.sorted
+      .map { case (en, de) => s"(${q(de)}, ${q(en)})" }
+      .mkString(", ")
+    s"""WITH local_labels(alias_norm, local_title, qid) AS (VALUES $localRows),
+       |links(title_from, title_to) AS (VALUES $linkRows)
+       |SELECT l.alias_norm,
+       |  COALESCE(k.title_to, l.local_title) AS canonical_title, l.qid
+       |FROM local_labels l LEFT JOIN links k ON l.local_title = k.title_from
+       |ORDER BY l.alias_norm, l.qid""".stripMargin
+  }
 }

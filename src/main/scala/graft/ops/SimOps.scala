@@ -203,20 +203,27 @@ object SimOps {
     // jaccardPairs.dfCap): a (band, sig) bucket of m ids costs m²/2 join
     // rows, and on CLUSTERED embedding corpora — the norm, not the
     // exception — a dense cluster's intra-cluster pairs all share buckets,
-    // growing candidates with Σ cluster². Dropping buckets above the cap
-    // bounds the join at bands·cap²/2 per bucket regardless of cluster
-    // structure. Recall cost is explicit and local: a true pair loses only
-    // the capped bands' collision chances, and a pair at the threshold
-    // expects ≈ bands·q ≈ 13.7 of 32 band hits (q = p^rowsPerBand ≈ 0.427
-    // at c = 0.95), so it survives minBandHits = 2 unless nearly ALL its
-    // buckets are over-cap — i.e. the pair sits inside a giant near-dup
-    // cluster, where transitive closure through any surviving co-member
-    // still dedups it. The default cap is lossless on the driver data;
-    // size it to executor memory at the target scale.
-    val bucketSizes = bandedAll.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("m"))
-    val banded = bandedAll.join(bucketSizes.filter(col("m") <= bucketCap),
-      Seq("band", "sig"))
+    // growing candidates with Σ cluster². Over-cap buckets are TRUNCATED to
+    // their first `bucketCap` ids (not dropped: a cluster larger than the
+    // cap shares one bucket per band across ALL bands, so dropping whole
+    // buckets silently yields ZERO pairs for exactly the heaviest duplicate
+    // clusters). The truncation order is a hash of the id alone — the SAME
+    // prefix of a uniform cluster survives in every band, so the kept
+    // members form a full candidate clique with all-band collision counts
+    // and pass minBandHits; a band-dependent order would spread survival
+    // thin and defeat the ≥2-band rule. Join volume is bounded at
+    // bands·cap²/2 per bucket regardless of cluster structure; the recall
+    // cost is local and observable (overCapBuckets below): members ranked
+    // past the cap in every one of their buckets lose detection, but the
+    // cluster itself is always detected through its kept prefix. The
+    // default cap is lossless on the driver data; size it to executor
+    // memory at the target scale.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("sig"))
+      .orderBy(xxhash64(col("id")), col("id"))
+    val banded = bandedAll
+      .withColumn("rn", row_number().over(bucketW))
+      .filter(col("rn") <= bucketCap)
       .select(col("id"), col("band"), col("sig"))
     // the (band, sig)-bucketed self-join streams candidate id pairs; the
     // groupBy both DEDUPES (a, b) and counts band collisions map-side —
@@ -234,4 +241,21 @@ object SimOps {
       .select(col("a"), col("b"), round(dot(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Observability companion to [[cosineDupPairs]]: the (band, sig) buckets
+   * whose size exceeds `bucketCap` — i.e. exactly the buckets the candidate
+   * join truncates. Empty result ⇒ the cap was lossless on this input; a
+   * non-empty result quantifies where recall can be lost (run it alongside
+   * the dedup job and alert/log on count > 0 at production scale). */
+  def overCapBuckets(embeddings: DataFrame, bands: Int = 32, rowsPerBand: Int = 8,
+      bucketCap: Int = 100000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol).as("id"),
+        posexplode(lsh_band_sigs(
+          normalize(col(vecCol).cast("array<double>")), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") > bucketCap)
 }

@@ -149,22 +149,30 @@ object Corpus {
       numRepos: Int = 200, seed: Long = 42L, partitions: Int = 32): Dataset[SourceFile] = {
     import spark.implicits._
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_CORPUS_OK")
-    if (!java.nio.file.Files.exists(marker)) {
-      // Decouple the on-disk file layout from the WRITER's parallelism: a
-      // 2-core session writing `partitions`=4 files of one ~40 MB row group
-      // each caps every later scan at 4 tasks (parquet can't split inside a
-      // row group), silently serializing the narrow detect→link chain for
-      // any wider session that reads the table — measured as scaling
-      // efficiency 0.52 instead of ~1.0 at 2 vs 8 cores. Fix the file count
-      // to the corpus size (~30k rows ≈ 2.5 MB per file) with a floor of 64
-      // (≥ the widest local session, so small corpora still fan out across
-      // local[32]) — exactly like sizing files on a production table.
-      val nOutFiles = math.max(64, (numFiles / 30000L).toInt)
+    // Decouple the on-disk file layout from the WRITER's parallelism: a
+    // 2-core session writing `partitions`=4 files of one ~40 MB row group
+    // each caps every later scan at 4 tasks (parquet can't split inside a
+    // row group), silently serializing the narrow detect→link chain for
+    // any wider session that reads the table — measured as scaling
+    // efficiency 0.52 instead of ~1.0 at 2 vs 8 cores. Fix the file count
+    // to the corpus size (~30k rows ≈ 2.5 MB per file) with a floor of 64
+    // (≥ the widest local session, so small corpora still fan out across
+    // local[32]) — exactly like sizing files on a production table.
+    val nOutFiles = math.max(64, (numFiles / 30000L).toInt)
+    // The marker records the LAYOUT, not just the row count: a corpus
+    // materialized by pre-fix code (writer-parallelism layout) or with a
+    // different target file count must regenerate, or the stale layout
+    // silently reintroduces the row-group scan cap this sizing exists to fix.
+    val markerContent = java.util.Arrays.asList(
+      "layout=v2", s"numFiles=$numFiles", s"nOutFiles=$nOutFiles")
+    val upToDate = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readAllLines(marker) == markerContent
+    if (!upToDate) {
       generate(spark, numFiles, numRepos, seed, partitions)
         .repartition(nOutFiles)
         .write.mode("overwrite").parquet(s"$dir/corpus")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.write(marker, java.util.Arrays.asList(numFiles.toString))
+      java.nio.file.Files.write(marker, markerContent)
     }
     spark.read.parquet(s"$dir/corpus").as[SourceFile]
   }

@@ -211,6 +211,32 @@ class SimOpsSpec extends AnyFunSuite {
     info(s"exact-dup survival under cap=50: $kept")
     assert(kept >= 0.9, s"exact dups should survive a tight bucket cap, kept=$kept")
   }
+
+  test("a near-dup cluster LARGER than bucketCap still yields pairs (truncate, not drop)") {
+    // 120 exact copies of one vector: every one of its (band, sig) buckets
+    // has >= 120 members, all over a cap of 20. Whole-bucket dropping (the
+    // pre-round-4 behavior) yields ZERO pairs here — the heaviest duplicate
+    // cluster was exactly the one that silently skipped dedup. Truncation
+    // keeps a consistent 20-member prefix per bucket, which forms a full
+    // candidate clique with all-band hit counts.
+    val one = vecs.filter($"vec_id" === 3).select($"embedding").head().getSeq[Float](0)
+    val cluster = (0 until 120).map(i => (5000L + i, one)).toDF("vec_id", "embedding")
+    val all = vecs.unionByName(cluster)
+    val pairs = SimOps.cosineDupPairs(all, threshold = 0.99, bucketCap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusterIds = (Set(3L) ++ (0 until 120).map(i => 5000L + i)).toSet
+    val clusterPairs = pairs.filter { case (a, b) => clusterIds(a) && clusterIds(b) }
+    info(s"cluster pairs under cap=20: ${clusterPairs.size}")
+    assert(clusterPairs.nonEmpty,
+      "over-cap cluster must still be detected through its truncated prefix")
+    // the kept prefix is capped per bucket (non-cluster band colliders can
+    // shift it slightly between bands), so pair volume stays bounded near
+    // cap^2/2 — far below the untruncated 121*120/2 = 7260
+    assert(clusterPairs.size <= 1000, s"pair volume not bounded: ${clusterPairs.size}")
+    // recall loss is observable: every cluster bucket reports over-cap
+    val over = SimOps.overCapBuckets(all, bucketCap = 20).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("m") >= 120L))
+  }
 }
 
 class SimilarityJoinSpec extends AnyFunSuite {
@@ -269,27 +295,74 @@ class SimilarityJoinSpec extends AnyFunSuite {
 class MediaOpsSpec extends AnyFunSuite {
   import graft.pipeline.SparkHolder.spark
 
-  test("decode round-trips the synthetic header deterministically") {
-    val m = MediaOps.generate(spark, 60)
-    val d = MediaOps.decode(m).collect()
-    assert(d.length == 60)
-    d.foreach { r =>
-      r.kind match {
-        case "image" => assert(r.width > 0 && r.height > 0 && r.frames == 1)
-        case "audio" => assert(r.sampleRate > 0 && r.width == -1)
-        case "video" => assert(r.frames >= 24 && r.width == 320)
+  test("PNG/BMP fixtures decode to exact known-good dimensions and pixel checksums") {
+    // checksum must come from DECODED pixels: both formats are lossless, so
+    // it has to equal the fold over the generator's pixel function
+    def expectedPixelSum(id: Long, w: Int, h: Int): Long = {
+      var sum = 0L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          var z = id * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L + y * 0x94D049BB133111EBL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          sum = sum * 31 + ((z >>> 40).toInt & 0xFFFFFF)
+        }
       }
-      assert(r.byteLen > 256)
+      sum
     }
-    // determinism: same ids -> same checksums
-    val d2 = MediaOps.decode(MediaOps.generate(spark, 60)).collect()
-    assert(d.map(x => (x.mediaId, x.checksum)).toSet == d2.map(x => (x.mediaId, x.checksum)).toSet)
+    Seq(true, false).foreach { png =>
+      val d = MediaOps.decodeBytes(7L, MediaOps.encodeImage(7L, 5, 3, png))
+      assert(d.kind == "image" && d.format == (if (png) "png" else "bmp"))
+      assert(d.width == 5 && d.height == 3 && d.frames == 1)
+      assert(d.checksum == expectedPixelSum(7L, 5, 3))
+    }
   }
 
-  test("resize shrinks only oversized images, keeps schema") {
+  test("WAV fixture parses fmt/data chunks to exact rate, sample count, sample checksum") {
+    val d = MediaOps.decodeBytes(1L, MediaOps.encodeWav(1L, 44100, 1234))
+    assert(d.kind == "audio" && d.format == "wav")
+    assert(d.sampleRate == 44100 && d.frames == 1234)
+    val expected = (0 until 1234).foldLeft(0L) { (sum, i) =>
+      sum * 31 + (math.sin(2 * math.Pi * 221 * i / 44100.0) * 12000).toShort
+    }
+    assert(d.checksum == expected)
+  }
+
+  test("distributed decode recovers every row's declared metadata from the bytes alone") {
+    val m = MediaOps.generate(spark, 60).collect()
+    val decoded = MediaOps.decode(MediaOps.generate(spark, 60)).collect()
+      .map(d => d.mediaId -> d).toMap
+    assert(decoded.size == 60)
+    m.foreach { row =>
+      val d = decoded(row.mediaId)
+      assert(d.kind == row.kind)
+      row.kind match {
+        case "image" =>
+          assert(d.width == row.width && d.height == row.height && d.frames == 1)
+          assert(d.format == (if (row.mediaId % 2 == 0) "png" else "bmp"))
+        case "audio" =>
+          assert(d.sampleRate == row.sampleRate && d.frames == row.frames && d.format == "wav")
+        case "video" =>
+          assert(d.frames == row.frames && d.width == 320 && d.format == "gvid")
+      }
+    }
+    // determinism: same ids -> same decoded checksums across regenerations
+    val d2 = MediaOps.decode(MediaOps.generate(spark, 60)).collect()
+    assert(decoded.values.map(x => (x.mediaId, x.checksum)).toSet ==
+      d2.map(x => (x.mediaId, x.checksum)).toSet)
+  }
+
+  test("resize re-encodes real downscaled pixels: re-decoding confirms new dimensions") {
     val m = MediaOps.generate(spark, 30)
-    val r = MediaOps.resize(m, maxDim = 64).collect()
-    r.filter(_.kind == "image").foreach(x => assert(math.max(x.width, x.height) <= 64))
+    val r = MediaOps.resize(m, maxDim = 32).collect()
+    val images = r.filter(_.kind == "image")
+    assert(images.exists(x => math.max(x.width, x.height) == 32), "some image should shrink")
+    images.foreach { x =>
+      assert(math.max(x.width, x.height) <= 32)
+      // metadata must agree with what the bytes actually decode to
+      val redecoded = MediaOps.decodeBytes(x.mediaId, x.content)
+      assert(redecoded.width == x.width && redecoded.height == x.height)
+    }
     r.filter(_.kind != "image").foreach(x => assert(x.content.nonEmpty))
   }
 
