@@ -12,12 +12,23 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  def runPipelineBench(spark: SparkSession, nFiles: Long): (Double, Long, Long) = {
+  /** @param kbSize 0 = toy EntityUniverse KB + sparse corpus (round-1-3
+   * comparable); > 0 = SyntheticKb of that many entities + the dense scaled
+   * corpus (10-30 plants/file), the configuration that exercises broadcast
+   * dims, gazetteer, and the dedup/consolidation shuffles at real sizes. */
+  def runPipelineBench(spark: SparkSession, nFiles: Long,
+      kbSize: Long = 0L): (Double, Long, Long) = {
     import graft.pipeline._
     // corpus as an on-disk parquet table (the Iceberg-table stand-in):
     // written once per size, scanned columnar by every measured run
-    val corpus = Corpus.materialize(spark, s"/tmp/graft-corpus-$nFiles", nFiles,
-      numRepos = 200, seed = 42L, partitions = spark.sparkContext.defaultParallelism * 2)
+    val corpus =
+      if (kbSize > 0)
+        Corpus.materializeScaled(spark, s"/tmp/graft-corpus-kb$kbSize-$nFiles",
+          nFiles, kbSize, numRepos = 200, seed = 42L,
+          partitions = spark.sparkContext.defaultParallelism * 2)
+      else Corpus.materialize(spark, s"/tmp/graft-corpus-$nFiles", nFiles,
+        numRepos = 200, seed = 42L, partitions = spark.sparkContext.defaultParallelism * 2)
+    val kbDims = if (kbSize > 0) Some(SyntheticKb.kbDims(spark, kbSize)) else None
     val nDocs = corpus.count()
     // phase timers for scaling forensics (stderr, env-gated, off in driver runs)
     val trace = sys.env.contains("GRAFT_STAGE_TIMES")
@@ -29,7 +40,7 @@ object Bench {
     }
     val t0 = System.nanoTime()
     val result = phase("Pipeline.run (plan + docEntities count + canonMap ckpt)")(
-      Pipeline.run(spark, corpus))
+      Pipeline.run(spark, corpus, kb = kbDims))
     phase("canonical noop write")(
       result.canonicalTriples.write.format("noop").mode("overwrite").save())
     val nTriples = phase("triples count")(result.triples.count())
@@ -95,18 +106,31 @@ object Bench {
     val run1 = runPipelineBench(spark, nFiles)
     val run2 = runPipelineBench(spark, nFiles)
     val (pipeSec, nDocs, nTriples) = if (run1._1 <= run2._1) run1 else run2
-    val all = results :+ ("kg_pipeline" -> pipeSec)
+
+    // scaled-KB pipeline: 10^5-entity SyntheticKb + dense corpus (10-30
+    // plants/file) — triples/sec is a real metric here (the toy corpus
+    // yields only ~200 distinct triples at any size), and the broadcast
+    // dims / gazetteer / dedup shuffles run at representative sizes
+    val kbSize = sys.env.getOrElse("SPARK_GRAFT_KB", "100000").toLong
+    val scaledFiles = sys.env.getOrElse("SPARK_GRAFT_SCALED_FILES", "100000").toLong
+    Bench.runPipelineBench(spark, math.max(1000L, scaledFiles / 10), kbSize) // warm-up
+    val s1 = runPipelineBench(spark, scaledFiles, kbSize)
+    val s2 = runPipelineBench(spark, scaledFiles, kbSize)
+    val (scaledSec, scaledDocs, scaledTriples) = if (s1._1 <= s2._1) s1 else s2
+
+    val all = results :+ ("kg_pipeline" -> pipeSec) :+ ("kg_pipeline_scaled" -> scaledSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // headline numbers are min-of-2 (noisy-host mitigation, BASELINE.md);
     // BOTH reps go into the JSON so the run-to-run spread is reproducible
     // from bench output alone, not just from prose
-    val allReps = repsByQuery :+ ("kg_pipeline" -> Seq(run1._1, run2._1))
+    val allReps = repsByQuery :+ ("kg_pipeline" -> Seq(run1._1, run2._1)) :+
+      ("kg_pipeline_scaled" -> Seq(s1._1, s2._1))
     val repsJson = allReps.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","kg_files":$nDocs,"kg_triples":$nTriples,"kg_files_per_sec":${nDocs / pipeSec}%.1f,"kg_triples_per_sec":${nTriples / pipeSec}%.1f,"cores":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","kg_files":$nDocs,"kg_triples":$nTriples,"kg_files_per_sec":${nDocs / pipeSec}%.1f,"kg_triples_per_sec":${nTriples / pipeSec}%.1f,"kb_size":$kbSize,"kg_scaled_files":$scaledDocs,"kg_scaled_triples":$scaledTriples,"kg_scaled_files_per_sec":${scaledDocs / scaledSec}%.1f,"kg_scaled_triples_per_sec":${scaledTriples / scaledSec}%.1f,"cores":$cpus}""")
     spark.stop()
   }
 }

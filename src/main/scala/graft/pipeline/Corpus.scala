@@ -212,19 +212,150 @@ object Corpus {
     }.toSet
   }
 
-  /** Golden set after the full dedup chain: exact (explicit>implicit) then
-   * per-undirected-pair consolidation with the SAME total order as
-   * [[Dedup.consolidatePairs]] (fuzzy clustering is a no-op once one triple
-   * per pair remains). Computed from the plan, independently of the pipeline. */
-  def goldenFinalTriples(seed: Long, numFiles: Long, numRepos: Int): Set[(String, String, String, String)] = {
-    goldenTriples(seed, numFiles, numRepos)
-      .groupBy { case (s, _, o, _) => if (s <= o) (s, o) else (o, s) }
-      .map { case (_, ts) =>
-        ts.minBy { case (s, p, o, inf) =>
+  /** The pair-consolidation semantics applied to a plan-computed triple set:
+   * per undirected pair, greedy-cluster predicates by Ratcliff/Obershelp ≥
+   * 0.85 in the pinned total order and keep the first of each cluster —
+   * dissimilar predicates between the same pair (e.g. an explicit "uses"
+   * plus an implicit "part of") ALL survive, exactly the reference's
+   * per-semantic-group keep (deduplication_utils.py:12-87). A one-per-pair
+   * reduction here would be WRONG — caught by ScaleKbSpec, where random type
+   * assignment makes the multi-predicate pair case common. */
+  def consolidateGolden(triples: Set[(String, String, String, String)]): Set[(String, String, String, String)] =
+    triples.groupBy { case (s, _, o, _) => if (s <= o) (s, o) else (o, s) }
+      .flatMap { case (_, ts) =>
+        val rels = ts.toVector.sortBy { case (s, p, o, inf) =>
           (if (inf == PipelineSchema.InferredExplicit) 0 else 1, p.length, p, s, o)
         }
+        val kept = scala.collection.mutable.ArrayBuffer[(String, String, String, String)]()
+        rels.foreach { r =>
+          if (!kept.exists(k => RatcliffObershelp.ratio(k._2, r._2) >= 0.85)) kept += r
+        }
+        kept
       }.toSet
+
+  /** Golden set after the full dedup chain: exact (explicit>implicit) then
+   * per-undirected-pair cluster consolidation ([[consolidateGolden]]).
+   * Computed from the plan, independently of the pipeline. */
+  def goldenFinalTriples(seed: Long, numFiles: Long, numRepos: Int): Set[(String, String, String, String)] =
+    consolidateGolden(goldenTriples(seed, numFiles, numRepos))
+
+  // ------------------------------------------------------------------
+  // Scaled corpus: plants from SyntheticKb, 10-50 entities per file
+  // (round-3 VERDICT #1/#2 — exercise the KB dimension at 10^5+ aliases and
+  // make triples/sec a real metric: the toy corpus yielded 207 distinct
+  // triples from 2M files, so relate/dedup/CC carried ~zero bench weight)
+  // ------------------------------------------------------------------
+
+  val ScaledMinPlants = 10
+  val ScaledMaxPlants = 30
+
+  /** Pure scaled plant plan for file `id`: k ∈ [ScaledMinPlants,
+   * ScaledMaxPlants] distinct entities from an m-entity [[SyntheticKb]],
+   * plus the hot entity (index 0) in ~half of all files (skew, as in the
+   * toy plan). Shared by the generator and the golden fixtures. */
+  def planScaled(seed: Long, numFiles: Long, numRepos: Int, kbSize: Long, id: Long): FilePlan = {
+    val r = rng(seed, id)
+    val hotFiles = (numFiles * HotRepoShare).toLong
+    val repo =
+      if (id < hotFiles) HotRepoName
+      else f"org/repo-${(id % math.max(1, numRepos)).toInt}%04d"
+    val lang = Langs(r.nextInt(Langs.size))
+    val ext = lang match {
+      case "py" => "py"; case "md" => "md"; case "go" => "go"
+      case "scala" => "scala"; case _ => "java"
+    }
+    val path = f"src/module${r.nextInt(40)}%02d/File$id%06d.$ext"
+    val commit = f"${seed * 31 + id}%040x".takeRight(40)
+    val k = ScaledMinPlants + r.nextInt(ScaledMaxPlants - ScaledMinPlants + 1)
+    var idxs = Seq.fill(k)((r.nextDouble() * kbSize).toLong).distinct
+    if (r.nextDouble() < 0.5 && !idxs.contains(0L)) idxs = idxs :+ 0L
+    val plants = idxs.map { i =>
+      val s = SyntheticKb.spec(i, kbSize)
+      Plant(s.title, s.qid, s.entityType, s.title) // surface = full title
+    }
+    FilePlan(id, repo, path, commit, lang, plants)
   }
+
+  /** Distributed scaled-corpus generation (same renderer as the toy plan). */
+  def generateScaled(spark: SparkSession, numFiles: Long, kbSize: Long,
+      numRepos: Int = 200, seed: Long = 42L, partitions: Int = 32): Dataset[SourceFile] = {
+    import spark.implicits._
+    spark.range(0L, numFiles, 1L, partitions).map { id =>
+      val p = planScaled(seed, numFiles, numRepos, kbSize, id)
+      SourceFile(p.repo, p.path, p.commit, p.lang, render(p))
+    }
+  }
+
+  /** Materialized scaled corpus table (layout discipline as [[materialize]]:
+   * file count fixed by data size, marker records layout + KB size). */
+  def materializeScaled(spark: SparkSession, dir: String, numFiles: Long, kbSize: Long,
+      numRepos: Int = 200, seed: Long = 42L, partitions: Int = 32): Dataset[SourceFile] = {
+    import spark.implicits._
+    // scaled rows are ~3x the toy rows (10-30 planted surfaces per doc
+    // comment), so ~10k rows ≈ 2.5 MB per file
+    val nOutFiles = math.max(64, (numFiles / 10000L).toInt)
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_CORPUS_OK")
+    val markerContent = java.util.Arrays.asList(
+      "layout=v2-scaled", s"numFiles=$numFiles", s"kbSize=$kbSize", s"nOutFiles=$nOutFiles")
+    val upToDate = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readAllLines(marker) == markerContent
+    if (!upToDate) {
+      generateScaled(spark, numFiles, kbSize, numRepos, seed, partitions)
+        .repartition(nOutFiles)
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(marker, markerContent)
+    }
+    spark.read.parquet(s"$dir/corpus").as[SourceFile]
+  }
+
+  /** Expected linked-entity set per file for the scaled plan. */
+  def goldenEntitiesScaled(seed: Long, numFiles: Long, numRepos: Int,
+      kbSize: Long): Seq[(String, String, String, String)] =
+    (0L until numFiles).flatMap { id =>
+      val p = planScaled(seed, numFiles, numRepos, kbSize, id)
+      p.plants.map(pl => (docId(p.repo, p.path), pl.title, pl.qid, pl.entityType))
+    }.distinct
+
+  /** Per-document triples for a scaled plan: explicit adjacency by type rule
+   * + implicit KB partOf among co-present entities (the scaled analog of
+   * [[docTriples]], with partOf coming from [[SyntheticKb]] group heads). */
+  def docTriplesScaled(plants: Seq[Plant], kbSize: Long): Seq[(String, String, String, String)] = {
+    val explicit = plants.sliding(2).toSeq.flatMap {
+      case Seq(a, b) =>
+        EntityUniverse.cooccurrencePredicate(a.entityType, b.entityType)
+          .map(pred => (a.title, pred, b.title, PipelineSchema.InferredExplicit))
+          .orElse(EntityUniverse.cooccurrencePredicate(b.entityType, a.entityType)
+            .map(pred => (b.title, pred, a.title, PipelineSchema.InferredExplicit)))
+          .toSeq
+      case _ => Nil
+    }
+    val titles = plants.map(_.title).toSet
+    val implicits = plants.flatMap { pl =>
+      val idx = pl.qid.stripPrefix("Q").toLong - 1000000L
+      SyntheticKb.spec(idx, kbSize).partOfTitle.filter(titles)
+        .map(t => (pl.title, EntityUniverse.PredPartOf, t, PipelineSchema.InferredImplicit))
+    }
+    explicit ++ implicits
+  }
+
+  /** Golden distinct triple set for a scaled corpus (explicit > implicit on
+   * the same key — the exact-dedup semantics). */
+  def goldenTriplesScaled(seed: Long, numFiles: Long, numRepos: Int,
+      kbSize: Long): Set[(String, String, String, String)] = {
+    val perDoc = (0L until numFiles).flatMap { id =>
+      val p = planScaled(seed, numFiles, numRepos, kbSize, id)
+      docTriplesScaled(p.plants, kbSize)
+    }
+    perDoc.groupBy(t => (t._1, t._2, t._3)).map { case (_, ts) =>
+      ts.find(_._4 == PipelineSchema.InferredExplicit).getOrElse(ts.head)
+    }.toSet
+  }
+
+  /** Golden scaled set after the full dedup chain ([[consolidateGolden]]). */
+  def goldenFinalTriplesScaled(seed: Long, numFiles: Long, numRepos: Int,
+      kbSize: Long): Set[(String, String, String, String)] =
+    consolidateGolden(goldenTriplesScaled(seed, numFiles, numRepos, kbSize))
 
   /** Deterministic relation rules for one document's planted entities:
    * explicit = adjacent co-occurrence pairs by type rule (replacing the

@@ -66,7 +66,19 @@ object Link {
    * collapse. Unmatched mentions survive with null qid — the reference
    * keeps unlinked entities too (linker.py:227).
    */
-  def link(mentions: Dataset[Mention], labels: Dataset[KbLabel]): Dataset[LinkedEntity] = {
+  /**
+   * @param broadcastDim ship the per-alias KB argmax as a broadcast build
+   * side (default). Measured (KbScaleProbe, round 4): the dimension is
+   * 77 MB in-memory at 10^5 entities / 133k aliases and 581 MB at 1M
+   * aliases — broadcastable well past the tested sizes, so the documented
+   * cutover is ~10^7 alias rows (≈ 5 GB, the practical broadcast ceiling);
+   * real Wikidata at ~1.1e8 labels is past it. There this flag flips the
+   * lookup to a plain shuffled hash join on aliasNorm: identical output
+   * (ScaleKbSpec pins both paths equal), one extra exchange of the mention
+   * stream.
+   */
+  def link(mentions: Dataset[Mention], labels: Dataset[KbLabel],
+      broadcastDim: Boolean = true): Dataset[LinkedEntity] = {
     val spark = mentions.sparkSession
     import spark.implicits._
     // ONE shuffle for the whole detect→link→docEntities chain: hash by
@@ -82,7 +94,8 @@ object Link {
     // cheaper than a second full-stream exchange. Per-doc skew is bounded
     // by document length, the same bound docEntities already requires.
     val uniq = mentions.drop("chunkId").repartition($"docId").distinct()
-    uniq.join(broadcast(bestPerAlias(labels)), Seq("aliasNorm"), "left")
+    val dim = if (broadcastDim) broadcast(bestPerAlias(labels)) else bestPerAlias(labels)
+    uniq.join(dim, Seq("aliasNorm"), "left")
       .select(
         $"docId", $"repo", $"path", $"lang", $"surface",
         $"citationStart", $"citationEnd", $"inferred",

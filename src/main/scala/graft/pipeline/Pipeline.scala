@@ -38,6 +38,31 @@ final case class PipelineConfig(
     // (round-2 VERDICT "What's wrong" #4)
     allowedTypes: Option[Seq[String]] = None)
 
+/**
+ * The KB dimension bundle a pipeline run resolves against: label/alias index,
+ * wikidata + dbpedia property dims, optional label-keyed Lookup fallback, and
+ * the gazetteer factory. Defaults to the toy [[EntityUniverse]]-derived
+ * fixtures ([[KbDims.default]]); [[SyntheticKb.kbDims]] supplies the
+ * parameterized-scale KB for scale-stress runs. The gazetteer is a factory
+ * (not a value) so checkpoint-resumed runs that skip the detect stage never
+ * pay the automaton build.
+ */
+final case class KbDims(
+    labels: Dataset[KbLabel],
+    wikidata: Dataset[KbWikidata],
+    dbpedia: Dataset[KbDbpedia],
+    dbpediaLookup: Option[org.apache.spark.sql.DataFrame],
+    buildGazetteer: () => Gazetteer)
+
+object KbDims {
+  def default(spark: SparkSession, language: String): KbDims = KbDims(
+    labels = KB.labelsForLang(spark, language),
+    wikidata = KB.wikidata(spark),
+    dbpedia = KB.dbpedia(spark),
+    dbpediaLookup = Some(KB.dbpediaLookup(spark)),
+    buildGazetteer = () => Gazetteer.fromKb(language))
+}
+
 final case class PipelineResult(
     mentions: Dataset[Mention],
     linked: Dataset[LinkedEntity],
@@ -49,11 +74,13 @@ final case class PipelineResult(
 object Pipeline {
 
   def run(spark: SparkSession, corpus: Dataset[SourceFile],
-      cfg: PipelineConfig = PipelineConfig()): PipelineResult = {
-    val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb(cfg.language))
-    val labels = KB.labelsForLang(spark, cfg.language)
-    val wikidata = KB.wikidata(spark)
-    val dbpedia = KB.dbpedia(spark)
+      cfg: PipelineConfig = PipelineConfig(),
+      kb: Option[KbDims] = None): PipelineResult = {
+    val dims = kb.getOrElse(KbDims.default(spark, cfg.language))
+    val gaz = spark.sparkContext.broadcast(dims.buildGazetteer())
+    val labels = dims.labels
+    val wikidata = dims.wikidata
+    val dbpedia = dims.dbpedia
 
     // RAW mentions (overlap duplicates included): the link window dedups them
     // in the same shuffle as the argmax — one pass over the fattest stream
@@ -78,8 +105,13 @@ object Pipeline {
     // materialize EAGERLY and sequentially: AQE runs broadcast builds and
     // independent stages concurrently, and concurrent consumers of a cold
     // cache each recompute the full subtree (Spark does not dedupe in-flight
-    // cache fills) — measured as 2-10x run-to-run variance before this
-    docEntities.count()
+    // cache fills) — measured as 2-10x run-to-run variance before this.
+    // Re-measured round 4 on the dense scaled corpus (100k files, 10^5-entity
+    // KB, 8 cores, interleaved best-of-2 pairs): 45.2/38.2/35.2 s WITH the
+    // barrier vs 38.7/57.6/79.4 s without — no reproducible gain from
+    // removal, and the worst spike happened without it; kept. The env toggle
+    // exists only so the measurement stays reproducible.
+    if (!sys.env.contains("GRAFT_NO_BARRIER")) docEntities.count()
     val rawTriples = Relate.triples(docEntities, wikidata)
     val validated =
       if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
@@ -89,7 +121,7 @@ object Pipeline {
     // materializes concurrently — eager checkpoint so both hit ready blocks.
     // Dimension-only derivation: no corpus scan inside the CC loop.
     val canonMap = Canonicalize.canonicalMapFromKb(labels, dbpedia,
-      Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
+      dims.dbpediaLookup).localCheckpoint(true)
     val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
   }

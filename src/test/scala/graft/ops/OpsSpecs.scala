@@ -134,16 +134,15 @@ class SimOpsSpec extends AnyFunSuite {
     assert(sims == sims.sorted.reverse)
   }
 
-  test("LSH top-k recall@10 >= 0.6 vs brute force on gaussian data") {
+  test("banded LSH top-k recall@10 >= 0.6 vs brute force on gaussian data") {
     val v = vecs.cache()
     val q = v.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
     val brute = SimOps.topKBrute(v, q, k = 10).collect().map(_.getLong(0)).toSet
-    val lsh = SimOps.topKLsh(v, q, k = 10, nPlanes = 6).collect().map(_.getLong(0)).toSet
+    val lsh = SimOps.topKLsh(v, q, k = 10).collect().map(_.getLong(0)).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     info(s"lsh recall@10 = $recall")
-    assert(lsh.contains(0L)) // own bucket always probed
-    assert(recall >= 0.5) // gaussian data is the hard case; real embeddings cluster
-
+    assert(lsh.contains(0L)) // the query's own row collides in every band
+    assert(recall >= 0.6) // gaussian data is the hard case; real embeddings cluster
   }
 
   test("IVF top-k: clustered real embeddings give recall@10 >= 0.7 vs brute force") {
@@ -375,5 +374,51 @@ class MediaOpsSpec extends AnyFunSuite {
       val frames = 24 + (id % 4).toInt * 6
       assert(n == (frames + 5) / 6)
     }
+  }
+}
+
+/**
+ * Quantified ANN recall (the "recall < 1 by construction" disclaimer with a
+ * number attached): recall@20 of the LSH multi-probe and IVF probe paths vs
+ * the exact brute-force ranking, averaged over 25 seeded queries on the
+ * sf0.1 embeddings table (2000 x 64-dim). Floors are asserted here and the
+ * measured values recorded in BASELINE.md.
+ */
+class AnnRecallSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import spark.implicits._
+
+  test("LSH and IVF recall@20 over 25 seeded queries at sf0.1") {
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select($"vec_id", $"embedding").persist()
+    e.count()
+    val queryIds = (0 until 25).map(i => i * 80L) // seeded, spread over the table
+    val queries = e.filter($"vec_id".isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(queries.size == 25)
+    val ivfIndex = SimOps.buildIvfIndex(e)
+    def recallOf(approx: Seq[Float] => Set[Long]): Double = {
+      val rs = queryIds.map { qid =>
+        val q = queries(qid)
+        val brute = SimOps.topKBrute(e, q, k = 20).collect().map(_.getLong(0)).toSet
+        (brute intersect approx(q)).size.toDouble / brute.size
+      }
+      rs.sum / rs.size
+    }
+    val lshRecall = recallOf(q =>
+      SimOps.topKLsh(e, q, k = 20).collect().map(_.getLong(0)).toSet)
+    val ivfRecall = recallOf(q =>
+      SimOps.topKIvfIndexed(ivfIndex, q, k = 20, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet)
+    info(f"mean recall@20 over 25 queries: lsh=$lshRecall%.4f ivf(nprobe=8)=$ivfRecall%.4f")
+    ivfIndex.unpersist()
+    e.unpersist()
+    // measured on this fixture (whose 20th neighbors sit at cosine ~0.29,
+    // the hard weakly-clustered case): lsh 0.994, ivf 0.81 at nprobe=8 —
+    // the IVF coarse quantizer (16 cells) cannot place cosine-0.3 neighbors
+    // reliably; its recall/probe sweep (0.48@3 → 0.81@8) is the documented
+    // IVF contract. Floors leave headroom for fixture regeneration only.
+    assert(lshRecall >= 0.9, f"lsh recall floor: $lshRecall%.4f")
+    assert(ivfRecall >= 0.75, f"ivf recall floor: $ivfRecall%.4f")
   }
 }
