@@ -48,7 +48,10 @@ object Bench {
     result.linked.unpersist()
     result.docEntities.unpersist()
     result.triples.unpersist()
-    result.canonMap.unpersist()
+    // a PREBUILT canonical map is a session-lived artifact shared by every
+    // run against this KB — unpersisting it here would drop the cached
+    // checkpoint blocks out from under the next rep
+    if (kbDims.flatMap(_.canonicalMap).isEmpty) result.canonMap.unpersist()
     (dt, nDocs, nTriples)
   }
 

@@ -52,7 +52,14 @@ final case class KbDims(
     wikidata: Dataset[KbWikidata],
     dbpedia: Dataset[KbDbpedia],
     dbpediaLookup: Option[org.apache.spark.sql.DataFrame],
-    buildGazetteer: () => Gazetteer)
+    buildGazetteer: () => Gazetteer,
+    // Prebuilt canonical map (entityName → canonicalId). The map depends
+    // ONLY on the KB — Canonicalize.canonicalMapFromKb documents it as a
+    // build-once artifact — so a KB provider can compute it once per
+    // session and every pipeline run skips the CC loop's driver-synchronized
+    // iterations (the largest fixed serial share of a run at dimension
+    // sizes ≥ 10^5; measured in BASELINE.md round 4). None = compute inline.
+    canonicalMap: Option[org.apache.spark.sql.DataFrame] = None)
 
 object KbDims {
   def default(spark: SparkSession, language: String): KbDims = KbDims(
@@ -119,9 +126,11 @@ object Pipeline {
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels, cfg.kgcRounds) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
     // materializes concurrently — eager checkpoint so both hit ready blocks.
-    // Dimension-only derivation: no corpus scan inside the CC loop.
-    val canonMap = Canonicalize.canonicalMapFromKb(labels, dbpedia,
-      dims.dbpediaLookup).localCheckpoint(true)
+    // Dimension-only derivation: no corpus scan inside the CC loop; reused
+    // verbatim when the KB provider prebuilt it (KbDims.canonicalMap).
+    val canonMap = dims.canonicalMap.getOrElse(
+      Canonicalize.canonicalMapFromKb(labels, dbpedia,
+        dims.dbpediaLookup).localCheckpoint(true))
     val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
   }

@@ -153,11 +153,32 @@ object SyntheticKb {
     Gazetteer.build(patterns)
   })
 
+  /** Per-(SparkContext, size) cache of session-lived KB artifacts: the
+   * eagerly-checkpointed label index and the canonical map. Both are
+   * build-once per session — exactly like loading a label-index table once
+   * per application in production; re-deriving the canonical map's CC loop
+   * per pipeline run was the largest fixed serial share of a scaled run
+   * (driver-synchronized iterations over 3·10^5 identity nodes). Keyed by
+   * applicationId so artifacts from a stopped context are never served. */
+  private val dimsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (org.apache.spark.sql.Dataset[KbLabel], org.apache.spark.sql.DataFrame)]
+
   /** The full KB dimension bundle for [[Pipeline.run]]. */
-  def kbDims(spark: SparkSession, m: Long): KbDims = KbDims(
-    labels = labels(spark, m),
-    wikidata = wikidata(spark, m),
-    dbpedia = dbpedia(spark, m),
-    dbpediaLookup = None,
-    buildGazetteer = () => gazetteer(m))
+  def kbDims(spark: SparkSession, m: Long): KbDims = {
+    val key = (spark.sparkContext.applicationId, m)
+    val (lbl, canon) = dimsCache.getOrElseUpdate(key, {
+      dimsCache.filterInPlace { case ((app, _), _) => app == key._1 } // drop dead-context entries
+      val l = labels(spark, m).localCheckpoint(true)
+      val c = Canonicalize.canonicalMapFromKb(l, dbpedia(spark, m), None)
+        .localCheckpoint(true)
+      (l, c)
+    })
+    KbDims(
+      labels = lbl,
+      wikidata = wikidata(spark, m),
+      dbpedia = dbpedia(spark, m),
+      dbpediaLookup = None,
+      buildGazetteer = () => gazetteer(m),
+      canonicalMap = Some(canon))
+  }
 }
