@@ -131,9 +131,22 @@ object Bench {
     val repsJson = allReps.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","kg_files":$nDocs,"kg_triples":$nTriples,"kg_files_per_sec":${nDocs / pipeSec}%.1f,"kg_triples_per_sec":${nTriples / pipeSec}%.1f,"kb_size":$kbSize,"kg_scaled_files":$scaledDocs,"kg_scaled_triples":$scaledTriples,"kg_scaled_files_per_sec":${scaledDocs / scaledSec}%.1f,"kg_scaled_triples_per_sec":${scaledTriples / scaledSec}%.1f,"cores":$cpus}""")
+    // headline "value" = queries + toy kg_pipeline ONLY, comparable with
+    // rounds 1-3 output; the scaled leg is reported as its own field
+    // (kg_pipeline_scaled_sec) so adding a new bench leg can never shift
+    // the longitudinal headline again (round-4 ADVICE)
+    val total = (results :+ ("kg_pipeline" -> pipeSec)).map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","kg_files":$nDocs,"kg_triples":$nTriples,"kg_files_per_sec":${nDocs / pipeSec}%.1f,"kg_triples_per_sec":${nTriples / pipeSec}%.1f,"kb_size":$kbSize,"kg_pipeline_scaled_sec":$scaledSec%.3f,"kg_scaled_files":$scaledDocs,"kg_scaled_triples":$scaledTriples,"kg_scaled_files_per_sec":${scaledDocs / scaledSec}%.1f,"kg_scaled_triples_per_sec":${scaledTriples / scaledSec}%.1f,"cores":$cpus}"""
+    // the one machine-readable line goes to its own file AND stdout: the
+    // round-4 driver's log-tail capture truncated it (the reps object
+    // roughly doubled its length) and recorded "parsed": null — a sidecar
+    // file can't be eaten by tail truncation
+    val sidecar = sys.env.getOrElse("GRAFT_BENCH_JSON", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only FS: stdout still carries it
+    println(line)
     spark.stop()
   }
 }

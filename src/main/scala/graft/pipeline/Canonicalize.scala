@@ -193,15 +193,23 @@ object Canonicalize {
       .select($"entityName", coalesce($"component", $"nodeId").as("canonicalId"))
   }
 
-  /** Rewrite triples to canonical ids (two shuffle joins on entity name; the
-   * canonical map is entity-dimension-sized, so both are broadcastable). */
-  def canonicalTriples(triples: Dataset[Triple], canonMap: DataFrame): Dataset[CanonicalTriple] = {
+  /** Rewrite triples to canonical ids (two joins on entity name; the
+   * canonical map is entity-dimension-sized, so both are broadcastable to
+   * the measured 1M-alias scale).
+   *
+   * @param broadcastDim ship both renamed views of the canonical map as
+   * broadcast build sides (default). false = shuffled hash joins for KBs
+   * past the ~5 GB broadcast ceiling (real Wikidata: 1.1e8 labels). Both
+   * paths pinned identical in ScaleKbSpec. */
+  def canonicalTriples(triples: Dataset[Triple], canonMap: DataFrame,
+      broadcastDim: Boolean = true): Dataset[CanonicalTriple] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val subjMap = broadcast(canonMap
+    def dim(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
+    val subjMap = dim(canonMap
       .withColumnRenamed("entityName", "subject")
       .withColumnRenamed("canonicalId", "subjectId"))
-    val objMap = broadcast(canonMap
+    val objMap = dim(canonMap
       .withColumnRenamed("entityName", "obj")
       .withColumnRenamed("canonicalId", "objectId"))
     triples

@@ -249,8 +249,10 @@ object Corpus {
   val ScaledMinPlants = 10
   val ScaledMaxPlants = 30
 
-  /** Pure scaled plant plan for file `id`: k ∈ [ScaledMinPlants,
-   * ScaledMaxPlants] distinct entities from an m-entity [[SyntheticKb]],
+  /** Pure scaled plant plan for file `id`: UP TO k ∈ [ScaledMinPlants,
+   * ScaledMaxPlants] distinct entities from an m-entity [[SyntheticKb]]
+   * (k indices are drawn with replacement then de-duplicated, so collisions
+   * can leave fewer — negligible at kbSize ≥ 10^4, visible at toy sizes),
    * plus the hot entity (index 0) in ~half of all files (skew, as in the
    * toy plan). Shared by the generator and the golden fixtures. */
   def planScaled(seed: Long, numFiles: Long, numRepos: Int, kbSize: Long, id: Long): FilePlan = {
@@ -356,6 +358,30 @@ object Corpus {
   def goldenFinalTriplesScaled(seed: Long, numFiles: Long, numRepos: Int,
       kbSize: Long): Set[(String, String, String, String)] =
     consolidateGolden(goldenTriplesScaled(seed, numFiles, numRepos, kbSize))
+
+  /** Golden scaled set AFTER KGC rounds (Pipeline.kgc semantics over the
+   * SyntheticKb group structure, computed from the plan): each round lifts
+   * (member, partOf, groupHead) for every entity name already in the KG —
+   * same-document presence NOT required, unlike Relate.implicitTriples. The
+   * loop converges after one productive round here: the only KB rel edges
+   * are member→head, heads have none, and round-1 objects (heads) therefore
+   * generate no round-2 candidates — so this golden is exact for any
+   * kgcRounds ≥ 1. Note KGC can RE-ADD a (member, partOf, head) key that
+   * pair-consolidation dropped in favor of a similar explicit predicate;
+   * the replay below reproduces that by anti-joining on the CONSOLIDATED
+   * key set, exactly as Pipeline.kgc does. */
+  def goldenKgcTriplesScaled(seed: Long, numFiles: Long, numRepos: Int,
+      kbSize: Long): Set[(String, String, String, String)] = {
+    val base = goldenFinalTriplesScaled(seed, numFiles, numRepos, kbSize)
+    val keys = base.map(t => (t._1, t._2, t._3))
+    val known = base.flatMap(t => Seq(t._1, t._3))
+    val novel = known.flatMap { name =>
+      val idx = name.substring(name.lastIndexOf(' ') + 1).toLong // title = "W1 W2 idx"
+      SyntheticKb.spec(idx, kbSize).partOfTitle
+        .map(h => (name, EntityUniverse.PredPartOf, h, PipelineSchema.InferredImplicit))
+    }.filterNot(t => keys((t._1, t._2, t._3)))
+    base ++ novel
+  }
 
   /** Deterministic relation rules for one document's planted entities:
    * explicit = adjacent co-occurrence pairs by type rule (replacing the

@@ -76,9 +76,16 @@ object Link {
    * lookup to a plain shuffled hash join on aliasNorm: identical output
    * (ScaleKbSpec pins both paths equal), one extra exchange of the mention
    * stream.
+   * @param prebuiltDim a session-lived [[bestPerAlias]] frame (must be
+   * checkpointed/cached by the provider — [[KbDims.linkDim]] documents the
+   * contract). The argmax is a pure function of the KB, so recomputing its
+   * groupBy per pipeline run was pure fixed serial cost (~5-8 s of the
+   * 8-core scaled leg, BASELINE.md round-4 fixed-cost analysis); a prebuilt
+   * frame reduces the per-run cost to the broadcast build itself.
    */
   def link(mentions: Dataset[Mention], labels: Dataset[KbLabel],
-      broadcastDim: Boolean = true): Dataset[LinkedEntity] = {
+      broadcastDim: Boolean = true,
+      prebuiltDim: Option[DataFrame] = None): Dataset[LinkedEntity] = {
     val spark = mentions.sparkSession
     import spark.implicits._
     // ONE shuffle for the whole detect→link→docEntities chain: hash by
@@ -94,7 +101,8 @@ object Link {
     // cheaper than a second full-stream exchange. Per-doc skew is bounded
     // by document length, the same bound docEntities already requires.
     val uniq = mentions.drop("chunkId").repartition($"docId").distinct()
-    val dim = if (broadcastDim) broadcast(bestPerAlias(labels)) else bestPerAlias(labels)
+    val dimBase = prebuiltDim.getOrElse(bestPerAlias(labels))
+    val dim = if (broadcastDim) broadcast(dimBase) else dimBase
     uniq.join(dim, Seq("aliasNorm"), "left")
       .select(
         $"docId", $"repo", $"path", $"lang", $"surface",

@@ -36,7 +36,14 @@ final case class PipelineConfig(
     // B(disallowed), C(allowed) the relate stage sees A adjacent to C —
     // filtering triples after relate instead would lose the A–C edge
     // (round-2 VERDICT "What's wrong" #4)
-    allowedTypes: Option[Seq[String]] = None)
+    allowedTypes: Option[Seq[String]] = None,
+    // ship KB-derived dimension frames (link argmax, wikidata partOf/memberOf
+    // rel table, KGC type dims, canonical map) as broadcast build sides.
+    // True to the measured 1M-alias scale (581 MB link dim, KbScaleProbe);
+    // false flips every dimension join to a shuffled hash join for KBs past
+    // the ~5 GB broadcast ceiling (real Wikidata: 1.1e8 labels). Both paths
+    // are pinned identical per site in ScaleKbSpec.
+    broadcastDims: Boolean = true)
 
 /**
  * The KB dimension bundle a pipeline run resolves against: label/alias index,
@@ -59,7 +66,20 @@ final case class KbDims(
     // session and every pipeline run skips the CC loop's driver-synchronized
     // iterations (the largest fixed serial share of a run at dimension
     // sizes ≥ 10^5; measured in BASELINE.md round 4). None = compute inline.
-    canonicalMap: Option[org.apache.spark.sql.DataFrame] = None)
+    // CONTRACT: must be checkpointed/cached by the provider (it feeds two
+    // concurrent broadcast builds); Pipeline.run defensively checkpoints a
+    // plan that is neither, so a non-conforming provider costs one extra
+    // materialization instead of silently reintroducing the duplicate
+    // cache-fill recompute.
+    canonicalMap: Option[org.apache.spark.sql.DataFrame] = None,
+    // Prebuilt Link.bestPerAlias frame — the second build-once-per-KB
+    // artifact (same contract as canonicalMap: checkpoint/cache it). The
+    // per-alias argmax depends only on the KB; recomputing it per run was
+    // the largest remaining fixed serial share of a scaled run after the
+    // canonical map got this treatment (~5-8 s per run at the 10^5-entity
+    // bench KB, BASELINE.md round-4 fixed-cost analysis). None = compute
+    // inline from `labels`.
+    linkDim: Option[org.apache.spark.sql.DataFrame] = None)
 
 object KbDims {
   def default(spark: SparkSession, language: String): KbDims = KbDims(
@@ -80,6 +100,19 @@ final case class PipelineResult(
 
 object Pipeline {
 
+  /** Enforce the KbDims prebuilt-artifact contract: a frame that is neither
+   * localCheckpoint'd (plan root is a LogicalRDD) nor persisted gets an eager
+   * checkpoint here — otherwise AQE's two concurrent broadcast builds each
+   * recompute the full subtree (Spark does not dedupe in-flight cache fills;
+   * the barrier comment below has the measurements). Conforming providers
+   * pass through untouched. */
+  private def ensureMaterialized(df: DataFrame): DataFrame = {
+    val checkpointed =
+      df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val persisted = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (checkpointed || persisted) df else df.localCheckpoint(true)
+  }
+
   def run(spark: SparkSession, corpus: Dataset[SourceFile],
       cfg: PipelineConfig = PipelineConfig(),
       kb: Option[KbDims] = None): PipelineResult = {
@@ -98,7 +131,9 @@ object Pipeline {
     // allowed-types restriction applies AT the linking boundary (extraction
     // semantics): disallowed entities never reach relate, so allowed
     // entities become adjacent across them — see PipelineConfig.allowedTypes
-    val linkedAll = Link.link(mentions, labels)
+    val linkedAll = Link.link(mentions, labels,
+      broadcastDim = cfg.broadcastDims,
+      prebuiltDim = dims.linkDim.map(ensureMaterialized))
     val linkedFiltered = cfg.allowedTypes
       .map(ts => linkedAll.filter(col("entityType").isin(ts: _*)))
       .getOrElse(linkedAll)
@@ -119,19 +154,21 @@ object Pipeline {
     // removal, and the worst spike happened without it; kept. The env toggle
     // exists only so the measurement stays reproducible.
     if (!sys.env.contains("GRAFT_NO_BARRIER")) docEntities.count()
-    val rawTriples = Relate.triples(docEntities, wikidata)
+    val rawTriples = Relate.triples(docEntities, wikidata, cfg.broadcastDims)
     val validated =
       if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
     val deduped = Dedup.consolidatePairs(Dedup.exact(validated), fuzzy = cfg.runFuzzyDedup)
-    val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels, cfg.kgcRounds) else deduped).persist()
+    val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
+      cfg.kgcRounds, cfg.broadcastDims) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
     // materializes concurrently — eager checkpoint so both hit ready blocks.
     // Dimension-only derivation: no corpus scan inside the CC loop; reused
-    // verbatim when the KB provider prebuilt it (KbDims.canonicalMap).
-    val canonMap = dims.canonicalMap.getOrElse(
+    // verbatim when the KB provider prebuilt it (KbDims.canonicalMap), with
+    // the checkpoint contract enforced defensively (see KbDims.canonicalMap).
+    val canonMap = dims.canonicalMap.map(ensureMaterialized).getOrElse(
       Canonicalize.canonicalMapFromKb(labels, dbpedia,
         dims.dbpediaLookup).localCheckpoint(true))
-    val canonical = Canonicalize.canonicalTriples(withKgc, canonMap)
+    val canonical = Canonicalize.canonicalTriples(withKgc, canonMap, cfg.broadcastDims)
     PipelineResult(mentions, linked, docEntities, withKgc, canonMap, canonical)
   }
 
@@ -175,7 +212,8 @@ object Pipeline {
       docEntities.count()
       val deduped = Dedup.consolidatePairs(Dedup.exact(Relate.triples(docEntities, wikidata)),
         fuzzy = cfg.runFuzzyDedup)
-      val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels, cfg.kgcRounds) else deduped
+      val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
+        cfg.kgcRounds, cfg.broadcastDims) else deduped
       Materialize.writeStage(withKgc.toDF(), "triples", outDir, cfg.buckets,
         resume = true, sortCols = Seq("subject", "predicate", "obj", "inferred", "docId"))
       docEntities.unpersist()
@@ -202,11 +240,17 @@ object Pipeline {
    * a KG entity (the object may be new), keeps only novel (s,p,o) keys via
    * anti-join, and unions them in. Bounded driver-side loop over DataFrames;
    * each round's plan is cut with localCheckpoint to keep lineage flat.
+   *
+   * @param broadcastDims ship the KB rel table and the two type dims as
+   * broadcast build sides (fine to the measured 1M-alias scale); false =
+   * shuffled hash joins for KBs past the broadcast ceiling. Pinned identical
+   * in ScaleKbSpec.
    */
   def kgc(spark: SparkSession, triples: Dataset[Triple],
       wikidata: Dataset[KbWikidata], labels: Dataset[KbLabel],
-      rounds: Int): Dataset[Triple] = {
+      rounds: Int, broadcastDims: Boolean = true): Dataset[Triple] = {
     import spark.implicits._
+    def dim(df: DataFrame): DataFrame = if (broadcastDims) broadcast(df) else df
     val kbRel = wikidata.select($"label".as("kSubject"),
         explode(concat(
           transform($"partOf", t => struct(lit(EntityUniverse.PredPartOf).as("pred"), t.as("target"))),
@@ -218,9 +262,9 @@ object Pipeline {
     // KB-dimension lookup, broadcast on both endpoints; titles outside the
     // KB keep UNKNOWN — same as the reference's .get(..., "unknown")
     val typeDim = labels.select($"canonicalTitle", $"entityType").distinct()
-    val subjTypes = broadcast(typeDim
+    val subjTypes = dim(typeDim
       .select($"canonicalTitle".as("subject"), $"entityType".as("sType")))
-    val objTypes = broadcast(typeDim
+    val objTypes = dim(typeDim
       .select($"canonicalTitle".as("obj"), $"entityType".as("oType")))
     var current = triples
     var round = 0
@@ -229,7 +273,7 @@ object Pipeline {
       val known = current.select($"subject".as("name"))
         .unionByName(current.select($"obj".as("name"))).distinct()
       val candidates = known
-        .join(broadcast(kbRel), $"name" === $"kSubject", "inner")
+        .join(dim(kbRel), $"name" === $"kSubject", "inner")
         .select($"kSubject".as("subject"), $"kPred".as("predicate"), $"kObj".as("obj"))
         .join(subjTypes, Seq("subject"), "left")
         .join(objTypes, Seq("obj"), "left")

@@ -71,8 +71,15 @@ object Relate {
   }
 
   /** Implicit KB-lifted triples: partOf/memberOf where BOTH endpoints are
-   * entities of the same document. */
-  def implicitTriples(docEntities: DataFrame, wikidata: Dataset[KbWikidata]): DataFrame = {
+   * entities of the same document.
+   *
+   * @param broadcastDim ship the KB partOf/memberOf rel table as a broadcast
+   * build side (default; dimension-sized — a strict subset of the wikidata
+   * dim measured at 581 MB/1M entities by KbScaleProbe). false = shuffled
+   * hash join on qid for KBs past the ~5 GB broadcast ceiling (real
+   * Wikidata: 1.1e8 labels). Both paths pinned identical in ScaleKbSpec. */
+  def implicitTriples(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
+      broadcastDim: Boolean = true): DataFrame = {
     val spark = docEntities.sparkSession
     import spark.implicits._
     val kbRel = wikidata.select($"qid",
@@ -81,8 +88,9 @@ object Relate {
           transform($"memberOf", t => struct(lit(EntityUniverse.PredMemberOf).as("pred"), t.as("target")))
         )).as("rel"))
       .select($"qid", $"rel.pred".as("predicate"), $"rel.target".as("target"))
+    val kbRelDim = if (broadcastDim) broadcast(kbRel) else kbRel
     val lifted = docEntities.as("e")
-      .join(broadcast(kbRel).as("k"), $"e.qid" === $"k.qid", "inner")
+      .join(kbRelDim.as("k"), $"e.qid" === $"k.qid", "inner")
     // require the target entity to be present in the same document
     val tgt = docEntities.select($"docId".as("tDocId"), $"entityName".as("tName"),
       $"entityType".as("tType"), $"inferred".as("tInferred"))
@@ -101,10 +109,12 @@ object Relate {
   }
 
   /** All per-document triples (explicit ∪ implicit). */
-  def triples(docEntities: DataFrame, wikidata: Dataset[KbWikidata]): Dataset[Triple] = {
+  def triples(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
+      broadcastDim: Boolean = true): Dataset[Triple] = {
     val spark = docEntities.sparkSession
     import spark.implicits._
-    explicitTriples(docEntities).unionByName(implicitTriples(docEntities, wikidata))
+    explicitTriples(docEntities)
+      .unionByName(implicitTriples(docEntities, wikidata, broadcastDim))
       .as[Triple]
   }
 

@@ -161,17 +161,22 @@ object SyntheticKb {
    * (driver-synchronized iterations over 3·10^5 identity nodes). Keyed by
    * applicationId so artifacts from a stopped context are never served. */
   private val dimsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (org.apache.spark.sql.Dataset[KbLabel], org.apache.spark.sql.DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (org.apache.spark.sql.Dataset[KbLabel], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   /** The full KB dimension bundle for [[Pipeline.run]]. */
   def kbDims(spark: SparkSession, m: Long): KbDims = {
     val key = (spark.sparkContext.applicationId, m)
-    val (lbl, canon) = dimsCache.getOrElseUpdate(key, {
+    val (lbl, canon, link) = dimsCache.getOrElseUpdate(key, {
       dimsCache.filterInPlace { case ((app, _), _) => app == key._1 } // drop dead-context entries
       val l = labels(spark, m).localCheckpoint(true)
       val c = Canonicalize.canonicalMapFromKb(l, dbpedia(spark, m), None)
         .localCheckpoint(true)
-      (l, c)
+      // third build-once artifact: the per-alias argmax link dimension —
+      // a pure function of the KB; rebuilding its groupBy per run was the
+      // largest remaining fixed serial share after the canonical map got
+      // this treatment (~5-8 s/run at m=10^5, BASELINE.md round-4 analysis)
+      val bp = Link.bestPerAlias(l).localCheckpoint(true)
+      (l, c, bp)
     })
     KbDims(
       labels = lbl,
@@ -179,6 +184,7 @@ object SyntheticKb {
       dbpedia = dbpedia(spark, m),
       dbpediaLookup = None,
       buildGazetteer = () => gazetteer(m),
-      canonicalMap = Some(canon))
+      canonicalMap = Some(canon),
+      linkDim = Some(link))
   }
 }

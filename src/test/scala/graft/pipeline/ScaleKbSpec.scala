@@ -80,6 +80,53 @@ class ScaleKbSpec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle)
   }
 
+  test("scaled KB: KGC rounds over group heads match the plan-computed golden exactly") {
+    // round-4 VERDICT #7: the KGC golden previously ran at the toy KB only —
+    // here kgcRounds=3 lifts (member, partOf, groupHead) across the 20k-entity
+    // group structure regardless of same-document co-presence
+    val res = Pipeline.run(spark, corpus, cfg = PipelineConfig(kgcRounds = 3),
+      kb = Some(SyntheticKb.kbDims(spark, kbSize)))
+    val got = res.triples
+      .select($"subject", $"predicate", $"obj", $"inferred")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    val want = Corpus.goldenKgcTriplesScaled(seed, numFiles, numRepos, kbSize)
+    val base = Corpus.goldenFinalTriplesScaled(seed, numFiles, numRepos, kbSize)
+    info(s"base=${base.size} afterKgc=${want.size} got=${got.size}")
+    assert(want.size > base.size, "KGC should add novel member->head triples at the scaled KB")
+    val missing = want -- got
+    val extra = got -- want
+    assert(missing.isEmpty, s"missing ${missing.size}: ${missing.take(5)}")
+    assert(extra.isEmpty, s"extra ${extra.size}: ${extra.take(5)}")
+    res.linked.unpersist(); res.docEntities.unpersist(); res.triples.unpersist()
+  }
+
+  test("broadcast and shuffle dimension paths produce identical pipeline output " +
+      "(relate/kgc/canonicalize cutover contract)") {
+    // every KB-derived dimension join (Relate.implicitTriples' rel table,
+    // Pipeline.kgc's rel + type dims, Canonicalize.canonicalTriples' two map
+    // views) must yield the same rows with broadcast hints off — the shuffle
+    // path a >5 GB KB (real Wikidata: 1.1e8 labels) would take
+    val small = corpus.limit(60).localCheckpoint(true)
+    def outputs(b: Boolean) = {
+      val r = Pipeline.run(spark, small.as[SourceFile],
+        cfg = PipelineConfig(kgcRounds = 2, broadcastDims = b),
+        kb = Some(SyntheticKb.kbDims(spark, kbSize)))
+      val trip = r.triples.select($"subject", $"predicate", $"obj", $"inferred")
+        .collect().map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3))).toSet
+      val canon = r.canonicalTriples.select($"subjectId", $"predicate", $"objectId")
+        .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))).toSet
+      r.linked.unpersist(); r.docEntities.unpersist(); r.triples.unpersist()
+      (trip, canon)
+    }
+    val (tB, cB) = outputs(b = true)
+    val (tS, cS) = outputs(b = false)
+    assert(tB.nonEmpty && cB.nonEmpty)
+    assert(tB == tS, "triples diverge between broadcast and shuffle dim paths")
+    assert(cB == cS, "canonical triples diverge between broadcast and shuffle dim paths")
+  }
+
   test("gazetteer CSR (sparse) path equals the dense path at dictionary width") {
     val m = 3000L
     val patterns = (0L until m).flatMap { i =>
