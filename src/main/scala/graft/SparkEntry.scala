@@ -272,7 +272,11 @@ object SparkEntry {
         .orderedBy(col("a"), col("b"))
     }),
     "q_simhash_pairs" -> ((s, dir) => {
-      DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3)
+      // Portable md5-derived token hash so DuckDB can recompute the exact
+      // simhash values; with 4 bands and maxHamming=3 the banded join is
+      // pigeonhole-exact, so the oracle is plain brute force over pairs.
+      DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+          tokenHash = TextOps.portableHash32)
         .orderedBy(col("a"), col("b"))
     }),
 
@@ -669,12 +673,36 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '\b' || term || '\b')) AS n
         |FROM documents, terms
         |WHERE len(regexp_extract_all(lower(text), '\b' || term || '\b')) > 0
-        |ORDER BY doc_id, term""".stripMargin)
-    // rows-only (no SQL oracle): q_simhash_pairs, q_ann_lsh, q_ann_ivf,
+        |ORDER BY doc_id, term""".stripMargin,
+    "q_simhash_pairs" -> simhashOracle)
+    // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf,
     // q_distinct_degree_approx, q_similarity_expr (engine-specific hash
     // functions / sub-100% recall / no RO metric in DuckDB — q_similarity_expr
     // is instead pinned to its brute-force oracle by SimilarityJoinSpec),
     // q_media_decode, q_media_frames (synthetic binary payloads)
+
+  /** Brute-force simhash oracle on the portable md5 token-hash basis
+   * (TextOps.portableHash32): DuckDB recomputes the exact 32-bit simhash
+   * (per-bit ±1 vote sums, bit set iff sum > 0 — the same tie rule as
+   * DedupOps.simhash) and enumerates all id<id pairs at Hamming <= 3.
+   * The Spark side's 4×8-bit banding is pigeonhole-exact at maxHamming=3,
+   * so banded == brute force and the hash comparison is value-for-value. */
+  private def simhashOracle: String = {
+    val bits = (0 until 32).map(i =>
+      s"CASE WHEN sum(CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id,
+       |    unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), '\\s+')) AS w
+       |  FROM documents),
+       |hv AS (SELECT id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS hv FROM tok),
+       |sh AS (SELECT id, $bits AS simhash FROM hv GROUP BY id)
+       |SELECT l.id AS a, r.id AS b,
+       |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+       |FROM sh l JOIN sh r ON l.id < r.id
+       |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
 
   /** word-trigram jaccard oracle shared by the exact and the MinHash-LSH
    * variants (LSH + verify must equal brute force at these parameters). */

@@ -183,10 +183,11 @@ object DedupOps {
    * a 32× multiplication of the token stream BEFORE the shuffle, measured
    * as 20.9 s on the driver bench; this form shuffles only the map-side
    * combined (id, 32 longs) rows. */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              tokenHash: Column => Column = hash(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
-      .withColumn("hv", hash(col("w")))
+      .withColumn("hv", tokenHash(col("w")))
     val votes = (0 until 32).map(i =>
       sum(when(shiftright(col("hv"), i).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
         .as(s"b$i"))
@@ -205,8 +206,9 @@ object DedupOps {
    * rows from 5 k docs at sf0.1. A post-join distinct would shuffle all of
    * them; as a join predicate the XOR+popcount runs in the same codegen
    * stage and only survivors (pairs, not per-band rows) reach the distinct. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val shs = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   tokenHash: Column => Column = hash(_)): DataFrame = {
+    val shs = simhash(docs, tokenHash = tokenHash)
     val banded = shs.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftright(simhash, band * 8)").bitwiseAND(0xFF))

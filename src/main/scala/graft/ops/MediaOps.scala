@@ -165,9 +165,15 @@ object MediaOps {
       val bb = java.nio.ByteBuffer.wrap(content).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.position(12)
       var rate = -1; var bits = -1; var channels = -1
-      var nSamples = -1; var checksum = 0L
-      // RIFF chunk walk: fmt then data (tolerates extra chunks between)
-      while (bb.remaining() >= 8 && (rate < 0 || nSamples < 0)) {
+      var dataOff = -1; var dataLen = -1
+      // RIFF chunk walk. Chunk order is unconstrained by the spec (data may
+      // legally precede fmt), so the walk only records the data chunk's
+      // offset; samples are decoded after the walk once fmt is known.
+      // Chunks are word-aligned: skip len + (len & 1) so an odd-length
+      // chunk doesn't misalign every following tag read.
+      def skip(len: Int): Unit =
+        bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
+      while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
         val tag = Array(bb.get(), bb.get(), bb.get(), bb.get()).map(_.toChar).mkString
         val len = bb.getInt()
         if (tag == "fmt ") {
@@ -177,13 +183,18 @@ object MediaOps {
           rate = bb.getInt()
           bb.getInt(); bb.getShort()
           bits = bb.getShort()
-          bb.position(p0 + len)
+          bb.position(p0); skip(len)
         } else if (tag == "data") {
-          nSamples = len / math.max(1, (bits / 8) * math.max(1, channels))
-          var i = 0
-          while (i < len / 2) { checksum = checksum * 31 + bb.getShort(); i += 1 }
-        } else bb.position(bb.position() + len)
+          dataOff = bb.position(); dataLen = math.min(len, bb.remaining())
+          skip(len)
+        } else skip(len)
       }
+      require(rate >= 0 && dataOff >= 0, s"WAV missing fmt/data chunk for mediaId=$mediaId")
+      val nSamples = dataLen / math.max(1, (bits / 8) * math.max(1, channels))
+      var checksum = 0L
+      bb.position(dataOff)
+      var i = 0
+      while (i < dataLen / 2) { checksum = checksum * 31 + bb.getShort(); i += 1 }
       DecodedMeta(mediaId, "audio", "wav", -1, -1, rate, nSamples, content.length, checksum)
     } else if (isGvid(content)) {
       val bb = java.nio.ByteBuffer.wrap(content)

@@ -27,6 +27,15 @@ object TextOps {
    * check values, not just shapes. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Portable 32-bit token hash: first 8 hex digits of md5, as a long in
+   * [0, 2^32). md5 is bit-identical in Spark and DuckDB, so any operator
+   * built on this basis (notably simhash for the q_simhash_pairs driver
+   * query) can be value-oracled instead of rows-only. The default simhash
+   * basis stays Spark's codegen murmur `hash` — this one trades one md5
+   * per token for cross-engine verifiability. */
+  def portableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Stopword lists per language for the n-gram-free language-ID heuristic.
    * Counts hits WITH multiplicity. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

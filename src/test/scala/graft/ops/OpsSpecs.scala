@@ -104,6 +104,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(wide.nonEmpty)
   }
 
+  test("portable-hash simhash: banded pairs equal brute force (pigeonhole at hamming<=3)") {
+    // With 4 bands and maxHamming=3 every qualifying pair shares at least
+    // one clean band, so the banded join must equal all-pairs brute force —
+    // the property the DuckDB q_simhash_pairs oracle relies on. Run on the
+    // sf0.001 documents table for non-trivial collision structure.
+    val docs = graft.SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val sh = DedupOps.simhash(docs, tokenHash = TextOps.portableHash32)
+    val brute = sh.as("l").join(sh.as("r"), col("l.id") < col("r.id"))
+      .filter(bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))) <= 3)
+      .select(col("l.id"), col("r.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupOps.simhashPairs(docs, maxHamming = 3,
+        tokenHash = TextOps.portableHash32)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    // portable hash must be a genuine 32-bit value (md5 prefix), not murmur
+    val hv = docs.select(TextOps.portableHash32(lit("alpha")).as("h")).head().getLong(0)
+    assert(hv == java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("alpha".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16))
+  }
+
   test("dropExactDuplicates keeps the smallest id") {
     val kept = DedupOps.dropExactDuplicates(base).select("doc_id")
       .collect().map(_.getLong(0)).sorted
@@ -325,6 +349,39 @@ class MediaOpsSpec extends AnyFunSuite {
       sum * 31 + (math.sin(2 * math.Pi * 221 * i / 44100.0) * 12000).toShort
     }
     assert(d.checksum == expected)
+  }
+
+  test("WAV chunk walk handles data-before-fmt and odd-length padded chunks") {
+    // Rebuild the id=1 fixture with (a) an odd-length LIST chunk before fmt
+    // (RIFF pads it to a word boundary) and (b) the data chunk FIRST — both
+    // legal layouts; decode must equal the canonical fmt-then-data fixture.
+    val canonical = MediaOps.decodeBytes(1L, MediaOps.encodeWav(1L, 44100, 1234))
+    val std = MediaOps.encodeWav(1L, 44100, 1234)
+    val fmtChunk = std.slice(12, 12 + 8 + 16)
+    val dataChunk = std.slice(12 + 8 + 16, std.length)
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val oddList = { // 5-byte LIST payload + 1 pad byte
+      val bb = java.nio.ByteBuffer.allocate(8 + 6)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(5).put("INFOx".getBytes("US-ASCII")).put(0.toByte)
+      bb.array()
+    }
+    Seq(
+      riff(oddList, fmtChunk, dataChunk),
+      riff(dataChunk, fmtChunk),
+      riff(dataChunk, oddList, fmtChunk)
+    ).foreach { bytes =>
+      val d = MediaOps.decodeBytes(1L, bytes)
+      assert(d.sampleRate == canonical.sampleRate && d.frames == canonical.frames &&
+        d.checksum == canonical.checksum)
+    }
   }
 
   test("distributed decode recovers every row's declared metadata from the bytes alone") {
