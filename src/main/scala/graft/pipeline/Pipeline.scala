@@ -79,7 +79,14 @@ final case class KbDims(
     // canonical map got this treatment (~5-8 s per run at the 10^5-entity
     // bench KB, BASELINE.md round-4 fixed-cost analysis). None = compute
     // inline from `labels`.
-    linkDim: Option[org.apache.spark.sql.DataFrame] = None)
+    linkDim: Option[org.apache.spark.sql.DataFrame] = None,
+    // Prebuilt gazetteer broadcast — the automaton OBJECT was already
+    // session-cached by providers, but re-broadcasting it per run still
+    // serialized and shipped the CSR arrays every time (~17 MB at the
+    // 10^5-entity bench KB, 174 MB at 10^6 aliases). A Broadcast handle is
+    // session-lived, so a KB provider can ship once and every run reuses
+    // the same executor-resident copy. None = broadcast buildGazetteer().
+    gazetteerBroadcast: Option[org.apache.spark.broadcast.Broadcast[Gazetteer]] = None)
 
 object KbDims {
   def default(spark: SparkSession, language: String): KbDims = KbDims(
@@ -117,7 +124,8 @@ object Pipeline {
       cfg: PipelineConfig = PipelineConfig(),
       kb: Option[KbDims] = None): PipelineResult = {
     val dims = kb.getOrElse(KbDims.default(spark, cfg.language))
-    val gaz = spark.sparkContext.broadcast(dims.buildGazetteer())
+    val gaz = dims.gazetteerBroadcast
+      .getOrElse(spark.sparkContext.broadcast(dims.buildGazetteer()))
     val labels = dims.labels
     val wikidata = dims.wikidata
     val dbpedia = dims.dbpedia

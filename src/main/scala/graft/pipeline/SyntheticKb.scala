@@ -161,12 +161,12 @@ object SyntheticKb {
    * (driver-synchronized iterations over 3·10^5 identity nodes). Keyed by
    * applicationId so artifacts from a stopped context are never served. */
   private val dimsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (org.apache.spark.sql.Dataset[KbLabel], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (org.apache.spark.sql.Dataset[KbLabel], org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.broadcast.Broadcast[Gazetteer])]
 
   /** The full KB dimension bundle for [[Pipeline.run]]. */
   def kbDims(spark: SparkSession, m: Long): KbDims = {
     val key = (spark.sparkContext.applicationId, m)
-    val (lbl, canon, link) = dimsCache.getOrElseUpdate(key, {
+    val (lbl, canon, link, gazBc) = dimsCache.getOrElseUpdate(key, {
       dimsCache.filterInPlace { case ((app, _), _) => app == key._1 } // drop dead-context entries
       val l = labels(spark, m).localCheckpoint(true)
       val c = Canonicalize.canonicalMapFromKb(l, dbpedia(spark, m), None)
@@ -176,7 +176,11 @@ object SyntheticKb {
       // largest remaining fixed serial share after the canonical map got
       // this treatment (~5-8 s/run at m=10^5, BASELINE.md round-4 analysis)
       val bp = Link.bestPerAlias(l).localCheckpoint(true)
-      (l, c, bp)
+      // fourth: the gazetteer BROADCAST — the automaton object was already
+      // cached per size, but re-broadcasting serialized + shipped the CSR
+      // arrays on every run (~17 MB at m=10^5); the handle is session-lived
+      val g = spark.sparkContext.broadcast(gazetteer(m))
+      (l, c, bp, g)
     })
     KbDims(
       labels = lbl,
@@ -185,6 +189,7 @@ object SyntheticKb {
       dbpediaLookup = None,
       buildGazetteer = () => gazetteer(m),
       canonicalMap = Some(canon),
-      linkDim = Some(link))
+      linkDim = Some(link),
+      gazetteerBroadcast = Some(gazBc))
   }
 }
