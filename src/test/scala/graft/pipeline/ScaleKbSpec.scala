@@ -150,4 +150,16 @@ class ScaleKbSpec extends AnyFunSuite {
       assert(a.nonEmpty)
     }
   }
+
+  test("kbDims returns the SAME session-cached artifacts across calls (build-once contract)") {
+    val d1 = SyntheticKb.kbDims(spark, kbSize)
+    val d2 = SyntheticKb.kbDims(spark, kbSize)
+    // the broadcast handle, link dim, canonical map and label index are
+    // build-once per (SparkContext, size): a second call must hand back the
+    // identical instances, not rebuild/re-ship them
+    assert(d1.gazetteerBroadcast.get eq d2.gazetteerBroadcast.get)
+    assert(d1.linkDim.get eq d2.linkDim.get)
+    assert(d1.canonicalMap.get eq d2.canonicalMap.get)
+    assert(d1.labels eq d2.labels)
+  }
 }
