@@ -423,17 +423,27 @@ object SparkEntry {
 
     // ---- multimodal columns (REAL PNG/BMP/WAV codecs via javax.imageio +
     // RIFF chunk walk; video = declared minimal container) ----
+    // Value-oracled round 5: the decode parses real container headers
+    // (PNG IHDR / BMP header / WAV fmt+data chunks / GVID header), while
+    // the DuckDB oracle recomputes the generator's parameters from pure
+    // id arithmetic — matching proves the encode→header-parse round trip
+    // end-to-end. Byte lengths and pixel/sample checksums are not SQL-
+    // derivable (zlib-compressed payloads) and stay pinned at fixture
+    // level in MediaOpsSpec; the decode still computes them per row.
     "q_media_decode" -> ((s, dir) => {
       MediaOps.decode(MediaOps.generate(s, 300)).toDF()
-        .select(col("mediaId"), col("kind"), col("format"), col("width"),
-          col("height"), col("sampleRate"), col("frames"), col("byteLen"),
-          col("checksum"))
-        .orderedBy(col("mediaId"))
+        .select(col("mediaId").as("media_id"), col("kind"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("frames").cast("long").as("frames"))
+        .orderedBy(col("media_id"))
     }),
     "q_media_frames" -> ((s, dir) => {
       MediaOps.sampleFrames(MediaOps.generate(s, 300), stride = 6)
-        .groupBy(col("mediaId")).agg(count(lit(1)).as("n_sampled"))
-        .orderedBy(col("mediaId"))
+        .groupBy(col("mediaId").as("media_id"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderedBy(col("media_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -674,12 +684,35 @@ object SparkEntry {
         |FROM documents, terms
         |WHERE len(regexp_extract_all(lower(text), '\b' || term || '\b')) > 0
         |ORDER BY doc_id, term""".stripMargin,
-    "q_simhash_pairs" -> simhashOracle)
+    "q_simhash_pairs" -> simhashOracle,
+
+    // Media decode: the oracle recomputes the deterministic generator's
+    // parameters (MediaOps.generate id arithmetic) with no byte access;
+    // the Spark side recovers the same values by parsing the real encoded
+    // container headers. kind/format come from magic-byte sniffing, width/
+    // height from PNG IHDR / BMP header / GVID header, sample_rate+frames
+    // from the WAV fmt/data chunk walk (frames = nSamples for audio).
+    "q_media_decode" ->
+      """SELECT id AS media_id,
+        |  CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN id % 3 = 0 THEN (CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END)
+        |       WHEN id % 3 = 1 THEN 'wav' ELSE 'gvid' END AS format,
+        |  CASE WHEN id % 3 = 0 THEN 24 + (id % 8) * 8 WHEN id % 3 = 1 THEN -1 ELSE 320 END AS width,
+        |  CASE WHEN id % 3 = 0 THEN 16 + (id % 5) * 8 WHEN id % 3 = 1 THEN -1 ELSE 240 END AS height,
+        |  CASE WHEN id % 3 = 1 THEN (CASE (id // 3) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+        |       ELSE -1 END AS sample_rate,
+        |  CASE WHEN id % 3 = 0 THEN 1 WHEN id % 3 = 1 THEN 500 + (id % 1000)
+        |       ELSE 24 + (id % 4) * 6 END AS frames
+        |FROM range(0, 300) t(id) ORDER BY 1""".stripMargin,
+    // Frame fan-out: stride-6 sampling of f = 24 + (id%4)*6 frames yields
+    // exactly 4 + (id%4) sampled indices per video row.
+    "q_media_frames" ->
+      """SELECT id AS media_id, 4 + (id % 4) AS n_sampled
+        |FROM range(0, 300) t(id) WHERE id % 3 = 2 ORDER BY 1""".stripMargin)
     // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf,
     // q_distinct_degree_approx, q_similarity_expr (engine-specific hash
     // functions / sub-100% recall / no RO metric in DuckDB — q_similarity_expr
-    // is instead pinned to its brute-force oracle by SimilarityJoinSpec),
-    // q_media_decode, q_media_frames (synthetic binary payloads)
+    // is instead pinned to its brute-force oracle by SimilarityJoinSpec)
 
   /** Brute-force simhash oracle on the portable md5 token-hash basis
    * (TextOps.portableHash32): DuckDB recomputes the exact 32-bit simhash
