@@ -99,4 +99,37 @@ class PlanSpec extends AnyFunSuite {
         !plan.contains("CartesianProduct"), s"$name plans a non-equi pair join")
     }
   }
+
+  /** Read-path half of the materialization contract: writeStage lays data
+   * out as `lang=X/bucket=N` directories so per-language consumers read only
+   * their shard; this pins that a lang predicate becomes a PARTITION filter
+   * (directories skipped at planning) rather than a data filter (every file
+   * scanned then filtered) — the difference between reading 1/k and k/k of
+   * a 100 TB triple table. */
+  test("materialized stage reads prune lang partitions at the scan") {
+    val langs = Seq("scala", "java", "go", "python")
+    val triples = spark.range(0, 400).select(
+      concat(lit("repo"), col("id") % 7).as("repo"),
+      element_at(typedLit(langs), (col("id") % 4 + 1).cast("int")).as("lang"),
+      concat(lit("Q"), col("id") % 50).as("subjectId"),
+      lit("USES").as("predicate"),
+      concat(lit("Q"), col("id") % 30).as("objectId"),
+      lit("explicit").as("inferred"),
+      col("id").as("docId"))
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Materialize.writeStage(triples, "triples", out, buckets = 4, resume = false)
+
+    val all = Materialize.readStage(spark, "triples", out)
+    val pruned = all.filter(col("lang") === "scala")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), "scan must expose partition filters")
+    val pf = plan.split("PartitionFilters:")(1).split("\n")(0)
+    assert(pf.contains("lang"), s"lang must prune partitions, got: $pf")
+
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    val allFiles = all.select(input_file_name()).distinct().count()
+    assert(prunedFiles * 2 <= allFiles,
+      s"pruned read touched $prunedFiles of $allFiles files")
+    assert(pruned.count() == 100)
+  }
 }
