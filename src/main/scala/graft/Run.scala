@@ -36,10 +36,12 @@ object Run {
         case Array(k) => k -> "true"
       }
     }.toMap
+    // positional form `Run <files> <outDir> <cores>` accepted alongside flags
+    val pos = args.filterNot(_.startsWith("--"))
     val numFiles = opts.get("files").map(_.toLong)
-      .orElse(args.find(!_.startsWith("--")).map(_.toLong)).getOrElse(2000L)
-    val outDir = opts.getOrElse("out", "/tmp/graft-out")
-    val cores = opts.getOrElse("cores", "8")
+      .orElse(pos.lift(0).map(_.toLong)).getOrElse(2000L)
+    val outDir = opts.getOrElse("out", pos.lift(1).getOrElse("/tmp/graft-out"))
+    val cores = opts.getOrElse("cores", pos.lift(2).getOrElse("8"))
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

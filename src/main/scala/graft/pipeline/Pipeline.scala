@@ -203,7 +203,7 @@ object Pipeline {
       val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb(cfg.language))
       val mentions = Detect.rawMentions(
         Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
-      val linkedAll = Link.link(mentions, labels)
+      val linkedAll = Link.link(mentions, labels, broadcastDim = cfg.broadcastDims)
       val linked = cfg.allowedTypes
         .map(ts => linkedAll.filter(col("entityType").isin(ts: _*)))
         .getOrElse(linkedAll)
@@ -218,7 +218,8 @@ object Pipeline {
     if (!Materialize.isComplete(s"$outDir/triples")) {
       val docEntities = Link.docEntities(linked).persist()
       docEntities.count()
-      val deduped = Dedup.consolidatePairs(Dedup.exact(Relate.triples(docEntities, wikidata)),
+      val deduped = Dedup.consolidatePairs(
+        Dedup.exact(Relate.triples(docEntities, wikidata, cfg.broadcastDims)),
         fuzzy = cfg.runFuzzyDedup)
       val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
         cfg.kgcRounds, cfg.broadcastDims) else deduped
@@ -234,7 +235,7 @@ object Pipeline {
     if (!Materialize.isComplete(s"$outDir/canonical")) {
       val canonMap = Canonicalize.canonicalMapFromKb(labels, dbpedia,
         Some(KB.dbpediaLookup(spark))).localCheckpoint(true)
-      val canonical = Canonicalize.canonicalTriples(triples, canonMap)
+      val canonical = Canonicalize.canonicalTriples(triples, canonMap, cfg.broadcastDims)
       Materialize.writeStage(canonical.toDF(), "canonical", outDir, cfg.buckets, resume = true)
       ran += "canonical"
     }
