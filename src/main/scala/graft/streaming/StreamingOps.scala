@@ -38,15 +38,22 @@ object StreamingOps {
    * exact dedup happens on read (the same Dedup.exact window) — append-only
    * storage plus dedup-on-read is the streaming-safe equivalent of the batch
    * dedup chain.
+   *
+   * `kb` carries the session KB artifacts ([[KbDims]]: gazetteer broadcast,
+   * canonical map, link dim). Without it each micro-batch rebuilds every
+   * KB-derived dimension — seconds per batch at dimension sizes ≥ 10^5
+   * (KbScaleProbe, BASELINE.md round 5), which would dominate micro-batch
+   * latency; the batch pipeline amortizes exactly the same costs the same way.
    */
   def incrementalKg(spark: SparkSession, stream: Dataset[SourceFile], outDir: String,
-      cfg: PipelineConfig = PipelineConfig()): StreamingQuery = {
+      cfg: PipelineConfig = PipelineConfig(),
+      kb: Option[KbDims] = None): StreamingQuery = {
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch { (batch: Dataset[SourceFile], batchId: Long) =>
         if (!batch.isEmpty) {
-          val result = Pipeline.run(spark, batch, cfg)
+          val result = Pipeline.run(spark, batch, cfg, kb)
           result.triples.write.mode("append").parquet(s"$outDir/triples_stream")
         }
         ()

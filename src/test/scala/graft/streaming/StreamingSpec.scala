@@ -104,4 +104,36 @@ class StreamingSpec extends AnyFunSuite {
     // for this corpus the plants are per-doc, so sets match exactly.
     assert(streamed == batchTriples)
   }
+
+  test("incremental KG at the scaled KB reuses session dims and equals batch") {
+    // Same equality contract as the toy test, at dimension scale: a
+    // 20k-entity SyntheticKb (the ScaleKbSpec KB) whose session artifacts
+    // (gazetteer broadcast, canonical map, link dim) are built ONCE and
+    // shared by the batch run and every micro-batch — without KbDims each
+    // batch would pay the full KB rebuild (KbScaleProbe, BASELINE.md r5).
+    val kbSize = 20000L
+    val corpus = Corpus.generateScaled(spark, 200L, kbSize,
+      numRepos = 20, seed = 42L, partitions = 4).persist()
+    val dims = SyntheticKb.kbDims(spark, kbSize)
+    val batchTriples = Pipeline.run(spark, corpus, kb = Some(dims)).triples
+      .select("subject", "predicate", "obj", "inferred").collect().map(_.toSeq).toSet
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-skb-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-skb-out").toString
+    // two micro-batches split on language (both halves non-empty: the scaled
+    // plan draws lang uniformly from 5 values over 200 files)
+    corpus.filter($"lang".isin("py", "md")).write.mode("append").parquet(inDir)
+    corpus.filter(!$"lang".isin("py", "md")).write.mode("append").parquet(inDir)
+
+    val q = StreamingOps.incrementalKg(spark,
+      StreamingOps.corpusStream(spark, inDir), outDir, kb = Some(dims))
+    q.awaitTermination(180000)
+
+    val streamed = StreamingOps.readStreamTriples(spark, outDir)
+      .select("subject", "predicate", "obj", "inferred").collect().map(_.toSeq).toSet
+    assert(batchTriples.size > 200, "dense corpus should yield > 1 triple per file")
+    assert(streamed == batchTriples,
+      s"streamed ${streamed.size} vs batch ${batchTriples.size}")
+    corpus.unpersist()
+  }
 }
