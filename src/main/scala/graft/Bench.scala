@@ -38,9 +38,14 @@ object Bench {
       if (trace) System.err.println(f"  [phase] $label: ${(System.nanoTime() - p0) / 1e9}%.2f s")
       r
     }
+    // GRAFT_BROADCAST_DIMS=false measures the shuffle-join dim path — the
+    // one a real-Wikidata dimension (1.1e8 labels, past the ~1e7-row
+    // cutover) would take; default true matches the driver bench
+    val cfg = PipelineConfig(
+      broadcastDims = sys.env.get("GRAFT_BROADCAST_DIMS").forall(_.toBoolean))
     val t0 = System.nanoTime()
     val result = phase("Pipeline.run (plan + docEntities count + canonMap ckpt)")(
-      Pipeline.run(spark, corpus, kb = kbDims))
+      Pipeline.run(spark, corpus, cfg, kb = kbDims))
     phase("canonical noop write")(
       result.canonicalTriples.write.format("noop").mode("overwrite").save())
     val nTriples = phase("triples count")(result.triples.count())

@@ -99,8 +99,9 @@ object ScaleBenchOne {
       walls += t
       System.err.println(f"[scale-one] cores=$cores rep=$r t=$t%.2f")
     }
+    val bcast = sys.env.get("GRAFT_BROADCAST_DIMS").forall(_.toBoolean)
     val line =
-      f"""{"metric":"pipeline_time","cores":$cores,"sec":$best%.2f,"reps":${walls.map(w => f"$w%.2f").mkString("[", ",", "]")},"files_per_sec":${docs / best}%.1f,"files":$nFiles,"triples":$triples,"kb_size":$kbSize,"availableProcessors":${Runtime.getRuntime.availableProcessors},"startedEpochMs":$t0Epoch,"endedEpochMs":${System.currentTimeMillis()}}"""
+      f"""{"metric":"pipeline_time","cores":$cores,"sec":$best%.2f,"reps":${walls.map(w => f"$w%.2f").mkString("[", ",", "]")},"files_per_sec":${docs / best}%.1f,"files":$nFiles,"triples":$triples,"kb_size":$kbSize,"broadcast_dims":$bcast,"availableProcessors":${Runtime.getRuntime.availableProcessors},"startedEpochMs":$t0Epoch,"endedEpochMs":${System.currentTimeMillis()}}"""
     println(line)
     val out = sys.env.getOrElse("GRAFT_SCALING_JSON", "/root/repo/BENCH_scaling.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
