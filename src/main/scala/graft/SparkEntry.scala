@@ -708,11 +708,61 @@ object SparkEntry {
     // exactly 4 + (id%4) sampled indices per video row.
     "q_media_frames" ->
       """SELECT id AS media_id, 4 + (id % 4) AS n_sampled
-        |FROM range(0, 300) t(id) WHERE id % 3 = 2 ORDER BY 1""".stripMargin)
+        |FROM range(0, 300) t(id) WHERE id % 3 = 2 ORDER BY 1""".stripMargin,
+    "q_similarity_expr" -> roSimOracle)
     // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf,
-    // q_distinct_degree_approx, q_similarity_expr (engine-specific hash
-    // functions / sub-100% recall / no RO metric in DuckDB — q_similarity_expr
-    // is instead pinned to its brute-force oracle by SimilarityJoinSpec)
+    // q_distinct_degree_approx (engine-specific hash functions /
+    // sub-100% recall — ANN recall floors measured in AnnRecallSpec)
+
+  /** Ratcliff/Obershelp in PURE SQL — the gestalt recursion as a recursive
+   * CTE over (pair, a-segment, b-segment) rows. Each step finds the longest
+   * common substring of a segment pair by enumerating every (start, len)
+   * substring of the a-side as a struct `{nl: -len, ao: start, bo:
+   * strpos(b, sub)}`, filtering to those present in b, and taking
+   * `list_sort(...)[1]`: struct comparison is lexicographic by field, so
+   * the minimum is (max len, min a-start, then the FIRST b occurrence) —
+   * exactly the strict-> scan order of [[graft.pipeline.RatcliffObershelp
+   * .matchedChars]] (i outer ascending, j inner ascending). The match
+   * length is credited to the LEFT flank child (`got`), so
+   * `sum(got)` per pair is the total matched chars and the final ratio is
+   * `2*sum(got)/(la+lb)`. The candidate space is the brute-force
+   * within-brand id<id join (blocking in [[graft.ops.SimilarityJoin]] is
+   * lossless on this corpus — pinned by SimilarityJoinSpec); the length
+   * band `max <= min*(2/t-1)` is an implication of RO >= t, not an
+   * approximation. Runs in ~3 s on the sf0.01 part table in DuckDB 1.0. */
+  private def roSimOracle: String =
+    """WITH RECURSIVE
+      |p0 AS (
+      |  SELECT p_partkey AS id, p_name AS nm, p_brand AS br, length(p_name) AS ln
+      |  FROM part),
+      |cand AS (
+      |  SELECT x.id AS a, y.id AS b, x.nm AS na, y.nm AS nb, x.ln + y.ln AS tot
+      |  FROM p0 x JOIN p0 y ON x.br = y.br AND x.id < y.id
+      |  WHERE greatest(x.ln, y.ln) * 2 <= least(x.ln, y.ln) * 3),
+      |seg AS (
+      |  SELECT a, b, tot, na AS sa, nb AS sb, 0 AS got FROM cand
+      |  UNION ALL
+      |  SELECT a, b, tot,
+      |    CASE side WHEN 0 THEN substr(sa, 1, t.ao - 1) ELSE substr(sa, t.ao - t.nl) END,
+      |    CASE side WHEN 0 THEN substr(sb, 1, t.bo - 1) ELSE substr(sb, t.bo - t.nl) END,
+      |    CASE side WHEN 0 THEN -t.nl ELSE 0 END
+      |  FROM (
+      |    SELECT a, b, tot, sa, sb,
+      |      (list_sort(list_filter(flatten(
+      |        list_transform(range(1, length(sa) + 1), ao ->
+      |          list_transform(range(1, least(length(sa) - ao + 1, length(sb)) + 1), l ->
+      |            {'nl': -l, 'ao': ao, 'bo': strpos(sb, substr(sa, ao, l))}))),
+      |        s -> s.bo > 0)))[1] AS t
+      |    FROM seg
+      |    WHERE length(sa) > 0 AND length(sb) > 0
+      |  ) par
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS side) sides
+      |  WHERE t IS NOT NULL)
+      |SELECT a, b, round(2.0 * SUM(got) / tot, 4) AS sim
+      |FROM seg
+      |GROUP BY a, b, tot
+      |HAVING 2.0 * SUM(got) / tot >= 0.8
+      |ORDER BY a, b""".stripMargin
 
   /** Brute-force simhash oracle on the portable md5 token-hash basis
    * (TextOps.portableHash32): DuckDB recomputes the exact 32-bit simhash
