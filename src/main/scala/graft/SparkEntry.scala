@@ -271,6 +271,12 @@ object SparkEntry {
       DedupOps.minhashDupPairs(t(s, dir, "documents"), n = 3, threshold = 0.8)
         .orderedBy(col("a"), col("b"))
     }),
+    "q_neardup_clusters" -> ((s, dir) => {
+      // cluster -> keep-one: CC over the near-dup pair graph (near-dup
+      // similarity is not transitive; pairs alone under-delete)
+      DedupOps.nearDupClusters(t(s, dir, "documents"), n = 3, threshold = 0.8)
+        .orderedBy(col("doc_id"))
+    }),
     "q_simhash_pairs" -> ((s, dir) => {
       // Portable md5-derived token hash so DuckDB can recompute the exact
       // simhash values; with 4 bands and maxHamming=3 the banded join is
@@ -661,6 +667,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_jaccard_pairs" -> jaccardOracle,
     "q_minhash_dedup" -> jaccardOracle,
+    "q_neardup_clusters" -> nearDupClustersOracle,
     "q_ann_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(
         |    CAST(embedding AS DOUBLE[]),
@@ -787,10 +794,10 @@ object SparkEntry {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** word-trigram jaccard oracle shared by the exact and the MinHash-LSH
-   * variants (LSH + verify must equal brute force at these parameters). */
-  private def jaccardOracle: String =
-    """WITH t AS (
+  /** Word-trigram jaccard-pair CTE chain (through `pairs`), shared by the
+   * exact / MinHash-LSH pair oracles and the cluster oracle. */
+  private def jaccardCtes: String =
+    """t AS (
       |  SELECT doc_id AS id, string_split(trim(text), ' ') AS w FROM documents),
       |idx AS (
       |  SELECT id, w, unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t),
@@ -800,14 +807,36 @@ object SparkEntry {
       |inter AS (
       |  SELECT l.id AS a, r.id AS b, count(*) AS inter
       |  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
-      |  GROUP BY 1, 2)
-      |SELECT a, b,
-      |  round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) AS jaccard
-      |FROM inter
-      |JOIN sz sa ON sa.id = a
-      |JOIN sz sb ON sb.id = b
-      |WHERE round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) >= 0.8
-      |ORDER BY a, b""".stripMargin
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a, b,
+      |    round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON sa.id = a
+      |  JOIN sz sb ON sb.id = b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) >= 0.8)""".stripMargin
+
+  /** word-trigram jaccard oracle shared by the exact and the MinHash-LSH
+   * variants (LSH + verify must equal brute force at these parameters). */
+  private def jaccardOracle: String =
+    s"WITH $jaccardCtes\nSELECT a, b, jaccard FROM pairs ORDER BY a, b"
+
+  /** Connected components over the jaccard pair graph as a transitive
+   * closure: recursive UNION (set-fixpoint) over symmetrized edges, then
+   * component = min reachable id per node — aggregation stays OUTSIDE the
+   * recursive term (standard SQL; components are near-dup clusters of a
+   * few docs, so the closure is tiny). Mirrors
+   * [[graft.ops.DedupOps.nearDupClusters]]. */
+  private def nearDupClustersOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+       |r AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+       |  src = least(src, min(dst)) AS is_canonical
+       |FROM r GROUP BY src ORDER BY doc_id""".stripMargin
 
   private def duckList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -101,6 +101,29 @@ object DedupOps {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /**
+   * Near-duplicate CLUSTERS: connected components over the exact n-gram
+   * Jaccard pair graph, with the canonical representative elected as the
+   * min doc id per component — the cluster → keep-one step a training-data
+   * dedup pipeline runs after pair generation (near-dup similarity is not
+   * transitive, so pairs alone under-delete: a~b, b~c with a!~c must still
+   * collapse to ONE survivor). Output: (doc_id, cluster_id, is_canonical)
+   * for every doc on >= 1 near-dup edge; keep `is_canonical` docs, drop the
+   * rest. Scale shape: the pair graph is bounded by the jaccardPairs
+   * inverted-index + dfCap valve; components are propagated dimension-only
+   * (label frame is one row per CLUSTERED doc, not per corpus doc), with
+   * map-side-combined min propagation and verified convergence
+   * ([[graft.pipeline.Canonicalize.connectedComponents]] — works on any
+   * orderable id type; doc ids stay longs so min is numeric). */
+  def nearDupClusters(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      dfCap: Int = 1000): DataFrame = {
+    val edges = jaccardPairs(docs, n, threshold, dfCap)
+      .select(col("a").as("src"), col("b").as("dst"))
+    graft.pipeline.Canonicalize.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /**

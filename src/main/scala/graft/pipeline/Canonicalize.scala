@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
 object Canonicalize {
 
   /** Connected components on an undirected edge list.
-   * @param edges DataFrame with string columns (src, dst)
+   * @param edges DataFrame with columns (src, dst) of any orderable type
+   * (string qids here; long doc ids in DedupOps.nearDupClusters)
    * @return DataFrame (id, component) — component = min node id reachable
    * @param minIterations skip the per-round convergence checksum for the
    * first `minIterations - 1` rounds (they cannot have converged when the

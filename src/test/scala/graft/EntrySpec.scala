@@ -25,7 +25,7 @@ class EntrySpec extends AnyFunSuite {
       // empty results are legitimate only for filters that can select nothing
       // q_cosine_pairs plants duplicates, so it must always return rows
       if (!Set("q_anti_join", "q_jaccard_pairs", "q_minhash_dedup",
-          "q_simhash_pairs", "q_similarity_expr").contains(name))
+          "q_neardup_clusters", "q_simhash_pairs", "q_similarity_expr").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }

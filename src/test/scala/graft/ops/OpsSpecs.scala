@@ -66,6 +66,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.head._3 == 1.0)
   }
 
+  test("nearDupClusters closes non-transitive pair chains into one cluster") {
+    // 10~11 (J=0.5) and 11~12 (J=0.5) but 10!~12 (J=0.2): the pair list
+    // alone would keep both 10 and 12; the component must merge all three
+    val chain = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "c d e f g h i j"),
+      (12L, "e f g h i j k l"),
+      (13L, "m n o p q r s t") // isolated: no edge, so NOT in the output
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.jaccardPairs(chain, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)), "chain premise")
+    val clusters = DedupOps.nearDupClusters(chain, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters == Set((10L, 10L, true), (11L, 10L, false), (12L, 10L, false)))
+  }
+
   test("minhash-LSH verified pairs equal brute-force jaccard pairs") {
     val brute = DedupOps.jaccardPairs(base, n = 3, threshold = 0.5)
       .select("a", "b", "jaccard").collect().toSet
