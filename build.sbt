@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that G1's default (heap/2048) region size classifies as humongous,
   // causing continuous concurrent GC under 32-thread local runs
   "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",
-)
+) ++ sys.env.get("SPARK_EXTRA_JVM").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -22,7 +22,10 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scale-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one shuffle partition per core; GRAFT_SHUFFLE_PARTS
+      // overrides for straggler-smoothing experiments at full host width
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", cores.toString))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // local-scale knobs (cluster defaults are right at real data sizes):
       // our rows are small but CPU-heavy, so 64MB-target AQE coalescing and
