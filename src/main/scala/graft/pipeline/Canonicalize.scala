@@ -91,11 +91,18 @@ object Canonicalize {
    * @param dbpediaLookup optional label-keyed Lookup fallback table
    * (KB.dbpediaLookup; reference dbpedia_service.py:103-197): entities whose
    * qid has NO row in the qid-keyed dim get a surface→dbpedia edge via their
-   * normalized label, so fallback-linked entities canonicalize too. */
+   * normalized label, so fallback-linked entities canonicalize too.
+   * @param broadcastDim ship the qid dim and the lookup table as broadcast
+   * build sides (default; both are KB-dimension-sized). false = shuffled
+   * hash joins for KBs past the ~5 GB broadcast ceiling (real Wikidata:
+   * 1.1e8 labels) — same cutover Link.link/Relate.triples carry; both paths
+   * pinned identical in CanonicalMapCutoverSpec. */
   def identityEdges(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia],
-      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
+      dbpediaLookup: Option[DataFrame] = None,
+      broadcastDim: Boolean = true): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
+    def dim(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
     val surfaceToQid = linked
       .filter($"qid".isNotNull)
       .select(concat(lit("n:"), lower($"entityName")).as("src"),
@@ -112,11 +119,11 @@ object Canonicalize {
         // lookup table is norm-keyed; node ids stay lower()-keyed because
         // they only ever join against themselves
         val misses = linked.filter($"qid".isNotNull)
-          .join(broadcast(dbpedia.select($"qid")), Seq("qid"), "left_anti")
+          .join(dim(dbpedia.select($"qid")), Seq("qid"), "left_anti")
           .select(graft.functions.TextFunctions.labelNorm($"entityName").as("labelNorm"),
             concat(lit("n:"), lower($"entityName")).as("src"))
           .distinct()
-        misses.join(broadcast(lookup.select($"labelNorm", $"resourceUri")), Seq("labelNorm"))
+        misses.join(dim(lookup.select($"labelNorm", $"resourceUri")), Seq("labelNorm"))
           .select($"src", concat(lit("d:"), $"resourceUri").as("dst"))
       case None => spark.emptyDataFrame.select(lit("").as("src"), lit("").as("dst")).limit(0)
     }
@@ -177,16 +184,19 @@ object Canonicalize {
   /** Map entityName → canonical component id from the OBSERVED linked table
    * (falls back to the surface node id for unlinked entities). General form
    * for arbitrary linked inputs; the pipeline uses the dimension-only
-   * canonicalMapFromKb. Result columns: (entityName, canonicalId). */
+   * canonicalMapFromKb. Result columns: (entityName, canonicalId).
+   * @param broadcastDim see identityEdges. */
   def canonicalMap(linked: Dataset[LinkedEntity], dbpedia: Dataset[KbDbpedia],
-      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
+      dbpediaLookup: Option[DataFrame] = None,
+      broadcastDim: Boolean = true): DataFrame = {
     val spark = linked.sparkSession
     import spark.implicits._
     // surface—qid—dbpedia chains make diameter 3 the EXPECTED case, so the
     // first two convergence checksums are skipped — but convergence is still
     // verified, because shared surfaces / sameAs bridges on real data can
     // chain components past the synthetic diameter (n—q1—d—q2 is distance 4)
-    val cc = connectedComponents(identityEdges(linked, dbpedia, dbpediaLookup),
+    val cc = connectedComponents(
+      identityEdges(linked, dbpedia, dbpediaLookup, broadcastDim),
       minIterations = 3)
     linked.select($"entityName").distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))

@@ -250,6 +250,49 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Pins the general canonicalMap's broadcast→shuffle cutover: both dim-join
+ * paths (identityEdges' qid anti-join + label-keyed Lookup fallback join)
+ * must produce the identical map — the same discipline Link.link and
+ * Relate.triples already carry (ScaleKbSpec). */
+class CanonicalMapCutoverSpec extends AnyFunSuite {
+  import SparkHolder.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def le(name: String, qid: String) = LinkedEntity(
+    docId = "d1", repo = "r", path = "p", lang = "scala", surface = name,
+    citationStart = 0, citationEnd = name.length, inferred = "explicit",
+    entityName = name, entityType = "TOOL", qid = qid,
+    wikipediaTitle = name, wikipediaExtract = "", categories = Seq.empty,
+    linkScore = 1.0)
+
+  test("broadcast and shuffle canonical maps are identical (fallback exercised)") {
+    // Alpha Kit: qid in the DBpedia dim → n—q—d chain.
+    // Beta Forge: qid MISSES the dim, label present in Lookup → fallback edge.
+    // Gamma: qid misses both → surface-node fallback via coalesce.
+    val linked = spark.createDataset(Seq(
+      le("Alpha Kit", "Q1"), le("Beta Forge", "Q2"), le("Gamma", "Q3")))
+    val dbpedia = spark.createDataset(Seq(KbDbpedia(
+      resourceUri = "dbp/Alpha_Kit", qid = "Q1", label = "Alpha Kit",
+      abstractText = "", types = Seq.empty, subjects = Seq.empty,
+      partOf = Seq.empty, hasParts = Seq.empty, memberOf = Seq.empty)))
+    val lookup = Seq("Beta Forge").toDF("name")
+      .select(graft.functions.TextFunctions.labelNorm($"name").as("labelNorm"),
+        lit("dbp/Beta_Forge").as("resourceUri"))
+
+    def collectMap(b: Boolean): Map[String, String] =
+      Canonicalize.canonicalMap(linked, dbpedia, Some(lookup), broadcastDim = b)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val viaBroadcast = collectMap(true)
+    val viaShuffle = collectMap(false)
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast("Alpha Kit") == "d:dbp/Alpha_Kit")   // qid-dim chain
+    assert(viaBroadcast("Beta Forge") == "d:dbp/Beta_Forge") // Lookup fallback
+    assert(viaBroadcast("Gamma") == "n:gamma")               // unlinked surface
+  }
+}
+
 /** Local alias so specs share the single session. */
 object SparkHolder {
   val spark = graft.SparkTestBase.spark
