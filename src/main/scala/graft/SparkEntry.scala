@@ -320,6 +320,17 @@ object SparkEntry {
       SimOps.cosineDupPairs(planted, threshold = 0.95)
         .orderedBy(col("a"), col("b"))
     }),
+    "q_cosine_clusters" -> ((s, dir) => {
+      // cluster election over the SAME planted-duplicate pair graph as
+      // q_cosine_pairs: CC + min-id canonical — the keep-one step an
+      // embedding dedup pipeline runs after pair generation (cosine
+      // near-dup is not transitive, pairs alone under-delete)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(
+        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      SimOps.cosineDupClusters(planted, threshold = 0.95)
+        .orderedBy(col("vec_id"))
+    }),
 
     // ---- gazetteer mention detection over documents ----
     "q_mention_count" -> ((s, dir) => {
@@ -684,6 +695,7 @@ object SparkEntry {
         |      CAST(r.embedding AS DOUBLE[])), 6) AS sim
         |  FROM e l JOIN e r ON l.vec_id < r.vec_id)
         |SELECT a, b, sim FROM p WHERE sim >= 0.95 ORDER BY a, b""".stripMargin,
+    "q_cosine_clusters" -> cosineClustersOracle,
     "q_mention_count" ->
       """WITH terms AS (SELECT unnest(['spark', 'join', 'window', 'hash']) AS term)
         |SELECT doc_id, term,
@@ -837,6 +849,31 @@ object SparkEntry {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
        |  src = least(src, min(dst)) AS is_canonical
        |FROM r GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Transitive closure over the BRUTE-FORCE cosine pair graph (same
+   * planted-duplicate universe and round-then-filter rule as the
+   * q_cosine_pairs oracle), component = min reachable id — aggregation
+   * outside the recursive term, as in [[nearDupClustersOracle]]. Mirrors
+   * [[graft.ops.SimOps.cosineDupClusters]]: equality additionally re-proves
+   * LSH pair recall, since CC over a missing edge would split a cluster. */
+  private def cosineClustersOracle: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT l.vec_id AS a, r.vec_id AS b
+      |  FROM e0 l JOIN e0 r ON l.vec_id < r.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+      |    CAST(r.embedding AS DOUBLE[])), 6) >= 0.95),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+      |r AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+      |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id,
+      |  src = least(src, min(dst)) AS is_canonical
+      |FROM r GROUP BY src ORDER BY vec_id""".stripMargin
 
   private def duckList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

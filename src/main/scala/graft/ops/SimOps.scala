@@ -256,6 +256,30 @@ object SimOps {
       .filter(col("sim") >= threshold)
   }
 
+  /**
+   * Embedding near-duplicate CLUSTERS: connected components over the
+   * [[cosineDupPairs]] graph with the canonical representative elected as
+   * the min vec id per component — the cluster → keep-one step after pair
+   * generation, mirroring [[graft.ops.DedupOps.nearDupClusters]] for the
+   * embedding modality (cosine similarity is not transitive either: a~b,
+   * b~c at ≥t with cos(a,c) < t must still collapse to ONE survivor).
+   * Output: (vec_id, cluster_id, is_canonical) for every vector on ≥ 1
+   * near-dup edge. Scale shape: the edge set is bounded by the banded-LSH
+   * candidate valve (bands·bucketCap²/2); components are propagated
+   * dimension-only over the CLUSTERED vectors, not the corpus
+   * ([[graft.pipeline.Canonicalize.connectedComponents]]). */
+  def cosineDupClusters(embeddings: DataFrame, threshold: Double = 0.95,
+      bands: Int = 32, rowsPerBand: Int = 8, minBandHits: Int = 2,
+      bucketCap: Int = 100000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val edges = cosineDupPairs(embeddings, threshold, bands, rowsPerBand,
+        minBandHits, bucketCap, idCol, vecCol)
+      .select(col("a").as("src"), col("b").as("dst"))
+    graft.pipeline.Canonicalize.connectedComponents(edges)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** Observability companion to [[cosineDupPairs]]: the (band, sig) buckets
    * whose size exceeds `bucketCap` — i.e. exactly the buckets the candidate
    * join truncates. Empty result ⇒ the cap was lossless on this input; a

@@ -277,6 +277,26 @@ class SimOpsSpec extends AnyFunSuite {
     val over = SimOps.overCapBuckets(all, bucketCap = 20).collect()
     assert(over.nonEmpty && over.forall(_.getAs[Long]("m") >= 120L))
   }
+
+  test("cosineDupClusters: non-transitive a~b~c chain collapses to ONE cluster") {
+    // a = cos15°·e0 + sin15°·e1, b = e0, c = cos15°·e0 − sin15°·e1:
+    // cos(a,b) = cos(b,c) = cos15° ≈ 0.966 ≥ 0.95 but
+    // cos(a,c) = cos30° ≈ 0.866 < 0.95 — the pair set alone keeps BOTH a
+    // and c; cluster election must collapse all three to min-id 9001
+    val c15 = math.cos(math.toRadians(15)).toFloat
+    val s15 = math.sin(math.toRadians(15)).toFloat
+    def v8(x: Float, y: Float): Seq[Float] = Seq(x, y) ++ Seq.fill(6)(0f)
+    val rows = Seq(
+      (9001L, v8(c15, s15)), (9002L, v8(1f, 0f)), (9003L, v8(c15, -s15)))
+      .toDF("vec_id", "embedding")
+    val pairs = SimOps.cosineDupPairs(rows, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((9001L, 9002L), (9002L, 9003L)), s"chain edges: $pairs")
+    val clusters = SimOps.cosineDupClusters(rows, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters == Set(
+      (9001L, 9001L, true), (9002L, 9001L, false), (9003L, 9001L, false)))
+  }
 }
 
 class SimilarityJoinSpec extends AnyFunSuite {
