@@ -71,9 +71,12 @@ object Canonicalize {
       val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
         else next0).persist()
       if (iter + 1 >= minIterations) {
-        // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI
-        val checksum = next.agg(sum(xxhash64($"id", $"component").cast("decimal(38,0)")))
-          .head().getDecimal(0).toString
+        // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI.
+        // sum() over ZERO rows is NULL — an empty edge set (e.g. a dedup
+        // corpus with no near-dup pairs) must converge, not NPE
+        val checksum = Option(
+          next.agg(sum(xxhash64($"id", $"component").cast("decimal(38,0)")))
+            .head().getDecimal(0)).map(_.toString).getOrElse("<empty>")
         converged = prevChecksum.contains(checksum)
         prevChecksum = Some(checksum)
       }

@@ -217,6 +217,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     Canonicalize.connectedComponents(edges.toSeq.toDF("src", "dst"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("empty edge set returns an empty labels frame (no NPE on the checksum)") {
+    // a dedup corpus with ZERO near-dup pairs feeds CC an empty edge set —
+    // the convergence checksum must tolerate sum() over no rows (NULL)
+    val m = cc()
+    assert(m.isEmpty)
+  }
+
   test("chain collapses to min id") {
     val m = cc("b" -> "c", "a" -> "b", "c" -> "d")
     assert(Set("a", "b", "c", "d").map(m) == Set("a"))
