@@ -461,6 +461,45 @@ object SparkEntry {
         .groupBy(col("mediaId").as("media_id"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderedBy(col("media_id"))
+    }),
+
+    // ---- as-of (point-in-time) join: every purchase matched to the
+    // latest view by the same user at or before its timestamp; the right
+    // side is deduped to one row per (user_id, ts) — largest event_id
+    // wins — so the DuckDB ASOF oracle's equal-ts pick is deterministic ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val vw = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(vw)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.asof(purchases, views,
+          keyCols = Seq("user_id"), tsCol = "ts", seqCol = "event_id",
+          payload = Seq("value"))
+        .orderedBy(col("event_id"))
+    }),
+
+    // ---- token-budget shard packing (distributed prefix sum) ----
+    "q_pack_shards" -> ((s, dir) => {
+      graft.ops.PackOps.packShards(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), budget = 2048, numBins = 32)
+        .select(col("doc_id"), col("n_tokens"),
+          col("offset").as("start_offset"), col("shard"))
+        .orderedBy(col("doc_id"))
+    }),
+
+    // ---- deterministic stratified sampling (training-mix filter):
+    // en halved, zh 0.30, es 0.80, everything else kept ----
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.ops.PackOps.stratifiedSample(t(s, dir, "documents"),
+          stratumCol = "lang", idCol = "doc_id",
+          ratesBp = Map("en" -> 5000, "zh" -> 3000, "es" -> 8000),
+          defaultBp = 10000)
+        .select(col("doc_id"), col("lang"))
+        .orderedBy(col("doc_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -728,7 +767,48 @@ object SparkEntry {
     "q_media_frames" ->
       """SELECT id AS media_id, 4 + (id % 4) AS n_sampled
         |FROM range(0, 300) t(id) WHERE id % 3 = 2 ORDER BY 1""".stripMargin,
-    "q_similarity_expr" -> roSimOracle)
+    "q_similarity_expr" -> roSimOracle,
+
+    // As-of join: DuckDB's native ASOF JOIN is an independent formulation
+    // of the same point-in-time semantics (greatest right ts <= left ts,
+    // inclusive), so equality proves the union+window trick end-to-end.
+    "q_asof_join" ->
+      """WITH v0 AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |v AS (SELECT user_id, ts, value FROM v0 WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  v.ts AS matched_ts, v.value AS matched_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Shard packing: the oracle IS the single-global-window formulation the
+    // distributed three-pass prefix-scan must equal.
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS shard
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Stratified sample: the md5-derived hash threshold is recomputed
+    // bit-identically (same basis as simhashOracle's portable hash).
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+        |              WHEN 'es' THEN 8000 ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin)
     // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf,
     // q_distinct_degree_approx (engine-specific hash functions /
     // sub-100% recall — ANN recall floors measured in AnnRecallSpec)
