@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /** Single source of truth for the dim-join-path knob: the same parse
+   * decides both the join strategy (here, in runPipelineBench) and the
+   * `broadcast_dims` field ScaleBenchOne records in BENCH_scaling.json —
+   * two independent parses could silently diverge and poison the
+   * longitudinal scaling evidence. */
+  def broadcastDimsFromEnv: Boolean =
+    sys.env.get("GRAFT_BROADCAST_DIMS").forall(_.toBoolean)
+
   /** @param kbSize 0 = toy EntityUniverse KB + sparse corpus (round-1-3
    * comparable); > 0 = SyntheticKb of that many entities + the dense scaled
    * corpus (10-30 plants/file), the configuration that exercises broadcast
@@ -41,8 +49,7 @@ object Bench {
     // GRAFT_BROADCAST_DIMS=false measures the shuffle-join dim path — the
     // one a real-Wikidata dimension (1.1e8 labels, past the ~1e7-row
     // cutover) would take; default true matches the driver bench
-    val cfg = PipelineConfig(
-      broadcastDims = sys.env.get("GRAFT_BROADCAST_DIMS").forall(_.toBoolean))
+    val cfg = PipelineConfig(broadcastDims = broadcastDimsFromEnv)
     val t0 = System.nanoTime()
     val result = phase("Pipeline.run (plan + docEntities count + canonMap ckpt)")(
       Pipeline.run(spark, corpus, cfg, kb = kbDims))
@@ -107,8 +114,9 @@ object Bench {
       name -> (if (reps(1) >= 0) reps.min else reps.head)
     }
 
-    // free the dedup ops' persisted shingle frames before the pipeline bench
+    // free the dedup/pack ops' persisted intermediates before the pipeline bench
     graft.ops.DedupOps.unpersistIntermediates()
+    graft.ops.PackOps.unpersistIntermediates()
 
     Bench.runPipelineBench(spark, math.max(1000L, nFiles / 10)) // warm-up
     val run1 = runPipelineBench(spark, nFiles)
@@ -143,15 +151,17 @@ object Bench {
     val total = (results :+ ("kg_pipeline" -> pipeSec)).map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","kg_files":$nDocs,"kg_triples":$nTriples,"kg_files_per_sec":${nDocs / pipeSec}%.1f,"kg_triples_per_sec":${nTriples / pipeSec}%.1f,"kb_size":$kbSize,"kg_pipeline_scaled_sec":$scaledSec%.3f,"kg_scaled_files":$scaledDocs,"kg_scaled_triples":$scaledTriples,"kg_scaled_files_per_sec":${scaledDocs / scaledSec}%.1f,"kg_scaled_triples_per_sec":${scaledTriples / scaledSec}%.1f,"cores":$cpus}"""
-    // the one machine-readable line goes to its own file AND stdout: the
+    // the one machine-readable line goes to stdout AND its own file: the
     // round-4 driver's log-tail capture truncated it (the reps object
     // roughly doubled its length) and recorded "parsed": null — a sidecar
-    // file can't be eaten by tail truncation
+    // file can't be eaten by tail truncation. stdout FIRST: a bad sidecar
+    // path (InvalidPathException is a RuntimeException, not IOException)
+    // must not lose the whole multi-minute run's numbers
+    println(line)
     val sidecar = sys.env.getOrElse("GRAFT_BENCH_JSON", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () } // read-only FS: stdout still carries it
-    println(line)
+    catch { case scala.util.control.NonFatal(_) => () } // stdout already carries it
     spark.stop()
   }
 }

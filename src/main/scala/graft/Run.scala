@@ -36,12 +36,16 @@ object Run {
         case Array(k) => k -> "true"
       }
     }.toMap
-    // positional form `Run <files> <outDir> <cores>` accepted alongside flags
-    val pos = args.filterNot(_.startsWith("--"))
-    val numFiles = opts.get("files").map(_.toLong)
-      .orElse(pos.lift(0).map(_.toLong)).getOrElse(2000L)
-    val outDir = opts.getOrElse("out", pos.lift(1).getOrElse("/tmp/graft-out"))
-    val cores = opts.getOrElse("cores", pos.lift(2).getOrElse("8"))
+    // positional form `Run <files> <outDir> <cores>` accepted alongside
+    // flags: positionals fill the FIRST slots not already set by a flag
+    // (so `--files=N /data/out` routes "/data/out" to outDir, instead of
+    // silently dropping it because slot 1 was indexed absolutely)
+    val posQueue = scala.collection.mutable.Queue(args.filterNot(_.startsWith("--")): _*)
+    def slot(key: String): Option[String] =
+      opts.get(key).orElse(if (posQueue.nonEmpty) Some(posQueue.dequeue()) else None)
+    val numFiles = slot("files").map(_.toLong).getOrElse(2000L)
+    val outDir = slot("out").getOrElse("/tmp/graft-out")
+    val cores = slot("cores").getOrElse("8")
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

@@ -102,7 +102,7 @@ object ScaleBenchOne {
       walls += t
       System.err.println(f"[scale-one] cores=$cores rep=$r t=$t%.2f")
     }
-    val bcast = sys.env.get("GRAFT_BROADCAST_DIMS").forall(_.toBoolean)
+    val bcast = Bench.broadcastDimsFromEnv // the parse that took effect in the run
     val line =
       f"""{"metric":"pipeline_time","cores":$cores,"sec":$best%.2f,"reps":${walls.map(w => f"$w%.2f").mkString("[", ",", "]")},"files_per_sec":${docs / best}%.1f,"files":$nFiles,"triples":$triples,"kb_size":$kbSize,"broadcast_dims":$bcast,"availableProcessors":${Runtime.getRuntime.availableProcessors},"startedEpochMs":$t0Epoch,"endedEpochMs":${System.currentTimeMillis()}}"""
     println(line)

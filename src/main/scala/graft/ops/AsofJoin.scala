@@ -50,13 +50,19 @@ object AsofJoin {
       keyCols.map(col) ++
         Seq(lit(1).as("__side"), lit(null).cast(rStructType).as("__r")) ++
         leftOther.map(col): _*)
-    val rNorm = right.select(
-      keyCols.map(col) ++
-        Seq(lit(0).as("__side"), rStruct.as("__r")) ++
-        leftOther.map {
-          case c if c == tsCol || c == seqCol => col(c)
-          case c => lit(null).cast(left.schema(c).dataType).as(c)
-        }: _*)
+    // NULL semantics must match the equi+range join this replaces: a right
+    // row with NULL ts can never satisfy `right.ts <= left.ts`, and a NULL
+    // key never equi-matches — but unfiltered they would sort NULLS-FIRST
+    // into the window (or form a NULL-key partition) and leak a match.
+    val rNorm = right
+      .filter((tsCol +: keyCols).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++
+          Seq(lit(0).as("__side"), rStruct.as("__r")) ++
+          leftOther.map {
+            case c if c == tsCol || c == seqCol => col(c)
+            case c => lit(null).cast(left.schema(c).dataType).as(c)
+          }: _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col(seqCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

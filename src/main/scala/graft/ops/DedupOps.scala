@@ -119,9 +119,7 @@ object DedupOps {
       dfCap: Int = 1000): DataFrame = {
     val edges = jaccardPairs(docs, n, threshold, dfCap)
       .select(col("a").as("src"), col("b").as("dst"))
-    graft.pipeline.Canonicalize.connectedComponents(edges)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    graft.pipeline.Canonicalize.electClusters(edges, "doc_id")
   }
 
   // ---------------- MinHash + LSH ----------------

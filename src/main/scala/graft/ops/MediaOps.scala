@@ -176,6 +176,10 @@ object MediaOps {
       while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
         val tag = Array(bb.get(), bb.get(), bb.get(), bb.get()).map(_.toChar).mkString
         val len = bb.getInt()
+        // a negative size (corrupt byte flip / >2^31 declared length) would
+        // move the position BACKWARD and re-read the same tag forever — fail
+        // like every other corrupt-input path instead of hanging the task
+        require(len >= 0, s"corrupt RIFF chunk length $len for mediaId=$mediaId")
         if (tag == "fmt ") {
           val p0 = bb.position()
           bb.getShort() // audio format

@@ -14,6 +14,24 @@ import org.apache.spark.sql.expressions.Window
  */
 object PackOps {
 
+  /** Persisted intermediates from [[packShards]] (the binned frame feeds two
+   * actions: the per-bin sums and the final windowed pass — without the
+   * persist the token-count expression re-runs over the full corpus twice).
+   * Same drain contract as [[DedupOps.unpersistIntermediates]]: long-running
+   * callers drain between workloads; unpersisting is always safe. */
+  private val persistedIntermediates =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerPersisted(df: DataFrame): DataFrame = synchronized {
+    persistedIntermediates += df
+    df
+  }
+
+  def unpersistIntermediates(): Unit = synchronized {
+    persistedIntermediates.foreach(_.unpersist(false))
+    persistedIntermediates.clear()
+  }
+
   /**
    * Token-budget shard packing ("concat-then-chunk", the standard LLM
    * pretraining layout): documents in stable id order form one logical
@@ -51,23 +69,39 @@ object PackOps {
   def packShards(docs: DataFrame, idCol: String, tokens: Column, budget: Long,
       numBins: Int = 64): DataFrame = {
     val spark = docs.sparkSession
+    // loud contract, not silent corruption: a non-integral id (e.g. a string
+    // key) would cast to NULL for every row and collapse the prefix sum
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"packShards requires an integral id column; $idCol is $dt " +
+          "(map string keys to a unique long — e.g. a dense rank — first)")
+    }
     val base = docs.select(col(idCol).cast("long").as("id"),
       tokens.cast("long").as("n_tokens"))
     val probes = (1 until numBins).map(_.toDouble / numBins).toArray
     val bounds =
       if (numBins <= 1) Array.empty[Double]
       else base.stat.approxQuantile("id", probes, 0.001).distinct.sorted
-    // bin = #boundaries <= id: monotone in id, so bin ranges are ordered
-    val binned = base.withColumn("bin",
+    // bin = #boundaries <= id: monotone in id, so bin ranges are ordered;
+    // persisted because it feeds two actions (per-bin sums + windowed pass)
+    val binned = registerPersisted(base.withColumn("bin",
       if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.toSeq.map(b => lit(b.toLong)): _*), b => b <= col("id"))))
+      else size(filter(array(bounds.toSeq.map(b => lit(b.toLong)): _*),
+        b => b <= col("id")))).persist())
     val perBin = binned.groupBy("bin").agg(sum("n_tokens").as("btok"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = perBin.map { case (b, t) => val o = (b, acc); acc += t; o }.toSeq
     import spark.implicits._
     val offDf = offsets.toDF("bin", "bin_offset")
+    // explicit ROWS frame: the default RANGE frame makes equal-id rows
+    // PEERS (each would see the whole group's sum); ids are unique by
+    // contract, but ROWS keeps a duplicate-id mistake a per-row running
+    // sum instead of a silent double-count
     val w = Window.partitionBy("bin").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     binned.join(broadcast(offDf), Seq("bin"))
       .withColumn("offset", col("bin_offset") + sum("n_tokens").over(w) - col("n_tokens"))
       // integer `div`, not floor(x / y): double division loses exactness

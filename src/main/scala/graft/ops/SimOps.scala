@@ -275,9 +275,7 @@ object SimOps {
     val edges = cosineDupPairs(embeddings, threshold, bands, rowsPerBand,
         minBandHits, bucketCap, idCol, vecCol)
       .select(col("a").as("src"), col("b").as("dst"))
-    graft.pipeline.Canonicalize.connectedComponents(edges)
-      .select(col("id").as(idCol), col("component").as("cluster_id"))
-      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+    graft.pipeline.Canonicalize.electClusters(edges, idCol)
   }
 
   /** Observability companion to [[cosineDupPairs]]: the (band, sig) buckets

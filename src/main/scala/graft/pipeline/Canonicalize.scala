@@ -90,6 +90,18 @@ object Canonicalize {
     labels
   }
 
+  /** Cluster election over an undirected (src, dst) edge set: connected
+   * components + min-id canonical representative — the shared keep-one
+   * step of the near-duplicate cluster operators (n-gram Jaccard in
+   * [[graft.ops.DedupOps.nearDupClusters]], embedding cosine in
+   * [[graft.ops.SimOps.cosineDupClusters]]). One definition so the two
+   * modalities can never silently diverge in election semantics.
+   * Output: (idCol, cluster_id, is_canonical) for every node on ≥ 1 edge. */
+  def electClusters(edges: DataFrame, idCol: String): DataFrame =
+    connectedComponents(edges)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+
   /** Identity edges from the linked-entity table + KB sameAs bridges.
    * @param dbpediaLookup optional label-keyed Lookup fallback table
    * (KB.dbpediaLookup; reference dbpedia_service.py:103-197): entities whose

@@ -31,6 +31,27 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(102L) == (None, None))
   }
 
+  test("NULL ts / NULL key rows never match (equi+range-join semantics)") {
+    // a NULL-ts right row sorts NULLS-FIRST into the window and would leak
+    // a payload into unmatched left rows; a NULL key never equi-matches
+    val right = Seq(
+      (Some(1L), Some(ts(8)), 10L, 1.0),
+      (Some(1L), None, 11L, 99.0),        // null ts: must never match
+      (None, Some(ts(7)), 12L, 77.0)      // null key: must never match
+    ).toDF("user_id", "ts", "event_id", "value")
+    val left = Seq(
+      (100L, Some(1L), Some(ts(7))),      // before the 08:00 view: no match
+      (101L, Some(1L), Some(ts(9))),      // matches the 08:00 view, not NULL-ts
+      (102L, None, Some(ts(9))),          // null key: no match
+      (103L, Some(1L), None)              // null ts probe: matches nothing
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsofJoin.asof(left, right, Seq("user_id"), "ts", "event_id", Seq("value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("matched_value"))).toMap
+    assert(out == Map(100L -> None, 101L -> Some(Double.box(1.0)),
+      102L -> None, 103L -> None))
+  }
+
   test("equals the brute-force latest-prior scan on random data") {
     val rnd = new scala.util.Random(7)
     val right = (0 until 300).map(i =>
@@ -91,6 +112,15 @@ class PackOpsSpec extends AnyFunSuite {
       && o1.head.getAs[Long]("shard") == 0L)
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(PackOps.packShards(empty, "doc_id", TextOps.tokenCount(col("text")), 10).count() == 0L)
+  }
+
+  test("packShards rejects a non-integral id column loudly") {
+    // a string id would cast to NULL row-by-row and silently collapse the
+    // prefix sum — the contract violation must be an error, not bad shards
+    val docs = Seq(("doc-1", "a b"), ("doc-2", "c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      PackOps.packShards(docs, "doc_id", TextOps.tokenCount(col("text")), 10))
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("stratifiedSample is a partition-independent pure predicate with working rates") {

@@ -421,6 +421,16 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV walk fails loudly on a corrupt negative chunk length (no hang)") {
+    // a negative size field would move the walk backward and re-read the
+    // same tag forever — must raise like every other corrupt-input path
+    val bytes = MediaOps.encodeWav(1L, 44100, 100)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk size field → -8
+    val e = intercept[IllegalArgumentException](MediaOps.decodeBytes(1L, bytes))
+    assert(e.getMessage.contains("corrupt RIFF chunk length"))
+  }
+
   test("distributed decode recovers every row's declared metadata from the bytes alone") {
     val m = MediaOps.generate(spark, 60).collect()
     val decoded = MediaOps.decode(MediaOps.generate(spark, 60)).collect()
