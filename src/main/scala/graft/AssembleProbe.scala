@@ -42,7 +42,12 @@ object AssembleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def best(label: String, rows: Long)(f: => Unit): Unit = {
-      val ts = (1 to reps).map(_ => time(f))
+      // drain packShards' persisted binned frame between reps: the cache
+      // matches by canonicalized plan, so rep 2 would otherwise skip the
+      // scan entirely and report a warm-cache number as if it were cold
+      val ts = (1 to reps).map { _ =>
+        graft.ops.PackOps.unpersistIntermediates(); time(f)
+      }
       println(f"""{"probe":"$label","rows":$rows,"best_s":${ts.min}%.2f,"reps":[${ts.map(t => f"$t%.2f").mkString(",")}],"rows_per_sec":${rows / ts.min}%.0f,"cores":$cpus}""")
     }
 
