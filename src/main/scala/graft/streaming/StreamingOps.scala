@@ -153,6 +153,82 @@ object StreamingOps {
     }
   }
 
+  // ---- stateful as-of (point-in-time) join ----
+
+  /** One tagged event of the as-of stream: side 0 = right (build) rows,
+   * side 1 = left (probe) rows. */
+  final case class AsofEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double, side: Int)
+
+  /** A resolved probe — same shape as the batch [[graft.ops.AsofJoin]]
+   * output (matched_* empty when no right row at-or-before the probe). */
+  final case class AsofMatch(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double,
+      matched_ts: Option[java.sql.Timestamp], matched_value: Option[Double])
+
+  /** Per-key as-of state carried across micro-batches: unemitted probes and
+   * the right-side history, COMPRESSED at the watermark — every right row
+   * below the watermark except the (ts, seq)-maximum is dominated for all
+   * future probes (future rows have event time ≥ watermark), so the
+   * below-watermark history is exactly one row. State size is therefore
+   * bounded by the watermark lag, not the stream length. */
+  final case class AsofState(pendingLeft: Seq[AsofEvent],
+      rightRecent: Seq[AsofEvent], rightBest: Option[AsofEvent])
+
+  /**
+   * Streaming point-in-time join ([[graft.ops.AsofJoin]] as a STATEFUL
+   * operator): every left probe is matched to the latest right row of the
+   * same key with `right.ts <= left.ts`, ties by largest event_id — the
+   * batch operator's exact semantics, pinned stream == batch in
+   * StreamingSpec.
+   *
+   * A probe is emitted only once the watermark passes its event time: from
+   * then on every arriving row has event time ≥ watermark > probe ts, so
+   * no future right row can change the match — the emission is final
+   * (Append-mode correct). Pending probes flush via event-time timeout.
+   * Late rows beyond the watermark delay may be dropped by the engine —
+   * the caller picks the lateness budget, as with [[sessionizeStateful]].
+   */
+  def asofStateful(events: Dataset[AsofEvent],
+      watermarkDelay: String = "0 seconds"): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        asofFunc)
+  }
+
+  private def asofFunc(userId: Long, events: Iterator[AsofEvent],
+      state: GroupState[AsofState]): Iterator[AsofMatch] = {
+    def key(e: AsofEvent) = (epochMicros(e.ts), e.event_id)
+    val prev = state.getOption.getOrElse(AsofState(Nil, Nil, None))
+    val incoming = events.toIndexedSeq
+    val wMicros = state.getCurrentWatermarkMs() * 1000L
+    val lefts = prev.pendingLeft ++ incoming.filter(_.side == 1)
+    val rights = prev.rightBest.toSeq ++ prev.rightRecent ++
+      incoming.filter(_.side == 0)
+    val (emit, keep) = lefts.partition(l => epochMicros(l.ts) < wMicros)
+    val out = emit.map { l =>
+      val m = rights.filter(r => epochMicros(r.ts) <= epochMicros(l.ts))
+        .sortBy(key).lastOption
+      AsofMatch(l.event_id, l.user_id, l.ts, l.value, m.map(_.ts), m.map(_.value))
+    }
+    val (rightOld, rightNew) = rights.partition(r => epochMicros(r.ts) < wMicros)
+    val best = if (rightOld.nonEmpty) Some(rightOld.maxBy(key)) else None
+    if (keep.isEmpty && rightNew.isEmpty && best.isEmpty) state.remove()
+    else {
+      state.update(AsofState(keep, rightNew, best))
+      if (keep.nonEmpty) {
+        // fire once the watermark passes the oldest pending probe; clamp
+        // above the current watermark (same pattern as sessionFunc)
+        val target = keep.map(l => epochMicros(l.ts)).min / 1000L + 1
+        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+      }
+    }
+    out.iterator
+  }
+
   /** Read-side dedup for the append-only stream output. Exact (s,p,o) dedup
    * and equality-keyed pair consolidation are min-selections under total
    * orders — associative, so batched-then-merged equals global. The FUZZY

@@ -81,6 +81,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming as-of join equals the batch AsofJoin across micro-batches") {
+    import StreamingOps.AsofEvent
+    // purchases probe the latest prior view (the q_asof_join shape), but on
+    // RAW rights — both the batch operator and the streaming state resolve
+    // equal-ts rights to the largest event_id, so no pre-dedup is needed
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"value".cast("double"),
+        when($"event_type" === "purchase", 1).otherwise(0).as("side"))
+
+    val left = ev.filter($"side" === 1).select($"event_id", $"user_id", $"ts", $"value")
+    val right = ev.filter($"side" === 0).select($"user_id", $"ts", $"event_id", $"value")
+    val batch = graft.ops.AsofJoin.asof(left, right,
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+      .select($"event_id", $"matched_ts", $"matched_value")
+      .collect().map(_.toSeq).toSet
+
+    // three time-split files + a far-future sentinel right row that drives
+    // the watermark past every probe, flushing pending state via timeout
+    val inDir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val byTime = ev.orderBy("ts", "event_id").collect()
+    val slices = Seq(byTime.take(byTime.length / 3),
+      byTime.slice(byTime.length / 3, 2 * byTime.length / 3),
+      byTime.drop(2 * byTime.length / 3))
+    val maxTs = byTime.last.getTimestamp(1).getTime
+    slices.foreach { rows =>
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), ev.schema)
+        .coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(1050)
+    }
+    Seq((-1L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), -1L, 0.0, 0))
+      .toDF("user_id", "ts", "event_id", "value", "side")
+      .coalesce(1).write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir).as[AsofEvent]
+    val q = StreamingOps.asofStateful(stream)
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof_out").filter($"event_id" >= 0)
+        .select($"event_id", $"matched_ts", $"matched_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} matches vs batch ${batch.size}")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("incremental KG over micro-batches equals the batch pipeline triples") {
     val corpus = Corpus.generate(spark, 120L, numRepos = 10, seed = 42L, partitions = 4)
     val batchTriples = Pipeline.run(spark, corpus).triples
