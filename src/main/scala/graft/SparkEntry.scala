@@ -491,6 +491,16 @@ object SparkEntry {
         .orderedBy(col("doc_id"))
     }),
 
+    // ---- benchmark decontamination: every 50th document plays the eval
+    // suite; 5-gram overlap with >= 2 hits flags contamination (self-pairs
+    // included — they prove detection on the planted subset) ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contamination(docs, docs.filter(col("doc_id") % 50 === 0),
+          n = 5, minHits = 2)
+        .orderedBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- deterministic stratified sampling (training-mix filter):
     // en halved, zh 0.30, es 0.80, everything else kept ----
     "q_stratified_sample" -> ((s, dir) => {
@@ -800,6 +810,21 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS shard
         |FROM o ORDER BY doc_id""".stripMargin,
+
+    // Decontamination: 5-gram shingles recomputed in SQL (same slicing as
+    // jaccardCtes, n=5), benchmark = the doc_id % 50 = 0 subset.
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT id, w, unnest(range(0, greatest(len(w) - 4, 0))) AS i FROM t),
+        |sh AS (
+        |  SELECT DISTINCT id, array_to_string(w[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], chr(1)) AS shingle FROM idx),
+        |b AS (SELECT id AS bench_id, shingle FROM sh WHERE id % 50 = 0)
+        |SELECT s.id AS doc_id, b.bench_id, count(*) AS hits
+        |FROM sh s JOIN b ON s.shingle = b.shingle
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     // Stratified sample: the md5-derived hash threshold is recomputed
     // bit-identically (same basis as simhashOracle's portable hash).

@@ -122,6 +122,31 @@ object DedupOps {
     graft.pipeline.Canonicalize.electClusters(edges, "doc_id")
   }
 
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * `minHits` distinct word n-gram shingles with any benchmark document —
+   * the standard n-gram overlap filter a pretraining pipeline runs against
+   * its eval suites before training. The benchmark side is dimension-sized
+   * (eval suites are thousands of documents, not billions) and is
+   * BROADCAST; the corpus side streams through one narrow shingle pass and
+   * the broadcast hash join — no shuffle of corpus data at all, so the
+   * pass costs one scan at 100 TB. Output: (doc_id, bench_id, hits) for
+   * every contaminated (corpus doc, benchmark doc) pair; callers typically
+   * anti-join the distinct doc_ids away (self-pairs appear when the
+   * benchmark IS a corpus subset — they prove detection and are trivially
+   * filtered with doc_id != bench_id).
+   */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5,
+      minHits: Int = 2): DataFrame = {
+    val ds = shingles(docs, n)
+    val bs = broadcast(shingles(bench, n)
+      .select(col("id").as("bench_id"), col("shingle")))
+    ds.join(bs, Seq("shingle"))
+      .groupBy(col("id").as("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /**

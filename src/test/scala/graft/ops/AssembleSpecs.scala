@@ -76,6 +76,38 @@ class AsofJoinSpec extends AnyFunSuite {
   }
 }
 
+class ContaminationSpec extends AnyFunSuite {
+  import graft.pipeline.SparkHolder.spark
+  import spark.implicits._
+
+  test("flags docs sharing >= minHits n-gram shingles with the benchmark, and only those") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // 2 shared 5-grams with bench 10
+      (2L, "alpha beta gamma delta epsilon nine ten"), // 1 shared 5-gram — below minHits
+      (3L, "one two three four five six seven")        // disjoint
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta extra")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.contamination(docs, bench, n = 5, minHits = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("hits"))).toSet
+    // doc 1 shares shingles [alpha..epsilon],[beta..zeta],[gamma..eta] = 3 hits
+    assert(out == Set((1L, 10L, 3L)))
+    // lowering minHits surfaces doc 2's single-shingle overlap
+    val loose = DedupOps.contamination(docs, bench, n = 5, minHits = 1)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(loose == Set(1L, 2L))
+  }
+
+  test("benchmark side of the join is broadcast (no corpus shuffle)") {
+    val docs = (0 until 100).map(i => (i.toLong, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    val plan = DedupOps.contamination(docs, docs.limit(5), n = 3, minHits = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
+
 class PackOpsSpec extends AnyFunSuite {
   import graft.pipeline.SparkHolder.spark
   import spark.implicits._
