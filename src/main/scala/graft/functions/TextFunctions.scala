@@ -60,12 +60,19 @@ object TextFunctions {
   def stripEllipsis(c: Column): Column =
     rtrim(regexp_replace(c, "(\\.{3,}|…)\\s*$", ""))
 
+  /** Defensive percent-decode: url_decode THROWS on a malformed escape
+   * (e.g. a literal '%' not followed by two hex digits — "100%_club"),
+   * which would fail the whole job on one bad row of untrusted input;
+   * try_url_decode returns NULL there, and we fall back to the raw text. */
+  private def safeUrlDecode(c: Column): Column =
+    coalesce(call_function("try_url_decode", c), c)
+
   /** URL → title projection: path segment after /wiki/, fragment dropped,
    * percent-decoded, underscores to spaces (reference:
    * wikipedia_service.py:295-300). */
   def urlToTitle(url: Column): Column =
     replace(
-      url_decode(regexp_extract(url, "/wiki/([^#?]+)", 1)),
+      safeUrlDecode(regexp_extract(url, "/wiki/([^#?]+)", 1)),
       lit("_"), lit(" "))
 
   /** Language-from-URL projection (reference: wikipedia_service.py:306-314). */
@@ -95,7 +102,7 @@ object TextFunctions {
   /** Search-query normalization: percent-decode, underscores to spaces,
    * parens stripped (reference: wikipedia_service.py:140-147). */
   def normalizeQuery(c: Column): Column =
-    trim(regexp_replace(replace(url_decode(c), lit("_"), lit(" ")), "[()]", ""))
+    trim(regexp_replace(replace(safeUrlDecode(c), lit("_"), lit(" ")), "[()]", ""))
 
   /** Column-level mirror of the driver-side EntityUniverse.norm (lowercase,
    * underscores → spaces, parens stripped, trimmed). EVERY join against a

@@ -74,8 +74,11 @@ object VectorOps {
       Array.tabulate(np, d)((p, j) => mix(p, j))
     })
 
-  /** nPlanes sign bits packed little-endian: bit p = [dot(v, plane_p) >= 0]. */
+  /** nPlanes sign bits packed little-endian: bit p = [dot(v, plane_p) >= 0].
+   * nPlanes > 64 would silently wrap (`1L << p` uses p mod 64) and collide
+   * signatures — guard loudly. */
   def lshSignature(v: ArrayData, nPlanes: Int): Long = {
+    require(nPlanes <= 64, s"lshSignature packs into one long: nPlanes=$nPlanes > 64")
     val dim = v.numElements()
     val pl = planes(nPlanes, dim)
     var sig = 0L
@@ -95,6 +98,8 @@ object VectorOps {
    * [b·rowsPerBand, (b+1)·rowsPerBand). Sign of a dot is scale-invariant, so
    * signatures of a normalized vector equal those of the raw vector. */
   def bandSigs(v: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    require(rowsPerBand <= 64,
+      s"bandSigs packs a band into one long: rowsPerBand=$rowsPerBand > 64")
     val dim = v.numElements()
     val pl = planes(bands * rowsPerBand, dim)
     val out = new Array[Long](bands)

@@ -49,7 +49,14 @@ object Materialize {
       sortCols: Seq[String] = tripleOrder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rowStr = concat_ws("\u0001", sortCols.map(col): _*)
+    // explicit NULL sentinel: bare concat_ws SKIPS null fields, so rows
+    // differing only in null position — (a, NULL, b) vs (a, b, NULL) — or
+    // null-vs-empty would serialize identically and the digest could not
+    // see that corruption. \u0000NUL cannot appear in real column text.
+    // Triple rows are all non-null, so digests are unchanged there
+    // (LineageDigestSpec still pins the legacy-aggregate equality).
+    val rowStr = concat_ws("\u0001",
+      sortCols.map(c => coalesce(col(c).cast("string"), lit("\u0000NUL"))): _*)
     val keyed = withBucket(df, buckets)
       .select(col("lang"), col("bucket").cast("int").as("bucket"), rowStr.as("r"))
       .repartition(col("lang"), col("bucket"))
@@ -111,13 +118,35 @@ object Materialize {
       sortCols: Seq[String] = tripleOrder): Boolean = {
     val dir = s"$outDir/$stage"
     if (resume && isComplete(dir)) return false
+    // partition cols lead the sort: FileFormatWriter requires its output
+    // ordered by (lang, bucket) and INSERTS ITS OWN SORT on just those keys
+    // when the child order doesn't have them as a prefix — discarding the
+    // canonical sortCols order (Spark's sort is not stable under spill).
+    // With the prefix satisfied, no extra sort runs and file content order
+    // IS the canonical order, making the data files deterministic.
     val bucketed = withBucket(df, buckets)
       .repartition(col("lang"), col("bucket"))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      .sortWithinPartitions((Seq("lang", "bucket") ++ sortCols).map(col): _*)
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy("lang", "bucket")
       .parquet(s"$dir/data")
-    lineage(df, stage, buckets, sortCols)
+    // lineage from the JUST-WRITTEN files, not the logical plan: the digest
+    // then describes what is actually on disk, and the stage plan executes
+    // ONCE (previously the data write, the digest pass, and the input-file
+    // aggregate each re-ran the full upstream plan — 3x stage cost on an
+    // unpersisted frame). An EMPTY stage writes no parquet part files
+    // (schema inference would fail on the bare directory) — fall back to
+    // the original frame there; its lineage is empty either way.
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hasFiles = {
+      val it = fs.listFiles(dataPath, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val written = if (hasFiles) df.sparkSession.read.parquet(s"$dir/data") else df
+    lineage(written, stage, buckets, sortCols)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).json(s"$dir/lineage")
     Files.createDirectories(Paths.get(dir))

@@ -167,6 +167,22 @@ object Stats {
       triples: Dataset[Triple], wikidata: Dataset[KbWikidata],
       dbpedia: Dataset[KbDbpedia], dbpediaLookup: Option[DataFrame] = None,
       topK: Int = 10, connectionsLimit: Int = 10000): String = {
+    // docEntities feeds 7 of the block's 9 independent actions: persist it
+    // for the duration when the CALLER hasn't (Pipeline.run hands over
+    // persisted frames, but a caller passing the raw detect→link plan would
+    // otherwise re-run the corpus pipeline per statistic)
+    val weCached =
+      docEntities.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) docEntities.persist()
+    try statisticsJsonBody(linked, docEntities, triples, wikidata, dbpedia,
+      dbpediaLookup, topK, connectionsLimit)
+    finally if (weCached) { docEntities.unpersist(false); () }
+  }
+
+  private def statisticsJsonBody(linked: Dataset[LinkedEntity], docEntities: DataFrame,
+      triples: Dataset[Triple], wikidata: Dataset[KbWikidata],
+      dbpedia: Dataset[KbDbpedia], dbpediaLookup: Option[DataFrame],
+      topK: Int, connectionsLimit: Int): String = {
     val types = typesDistribution(docEntities).collect()
       .map(r => s""""${esc(r.getString(0))}": ${r.getLong(1)}""").mkString("{", ", ", "}")
     val share = linkedShares(docEntities, wikidata, dbpedia, dbpediaLookup).collect().head

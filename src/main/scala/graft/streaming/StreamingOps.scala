@@ -16,11 +16,18 @@ import graft.pipeline._
 object StreamingOps {
 
   /** Tumbling 1-hour event-time aggregation — usable identically over a
-   * batch DataFrame or a stream (with watermark applied by the caller). */
+   * batch DataFrame or a stream (with watermark applied by the caller).
+   * The group key is the WHOLE window struct, projected to its start
+   * afterwards: grouping on `window(...).getField("start")` would strip the
+   * event-time metadata from the aggregation key, so watermark-based state
+   * eviction could never run (Append mode rejected / Complete-mode state
+   * grows without bound on a long-lived stream). */
   def windowedEventStats(events: DataFrame): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
 
   /** File-based corpus stream: each new parquet file under `dir` becomes a
    * micro-batch. Schema must be supplied (streaming requirement). */
@@ -82,26 +89,33 @@ object StreamingOps {
   private def round2(d: Double): Double =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Sessionization state: events still at-or-above the watermark (they may
+   * be joined by admissible out-of-order peers, so they cannot be folded
+   * yet) plus the open session built from everything below it. */
+  final case class SessState(pending: Seq[SessionEvent], open: Option[OpenSession])
+
   /**
    * Gap-based event-time sessionization as a STATEFUL streaming operator
    * (SURVEY.md §2.9 / brief: `flatMapGroupsWithState` for custom state): a
    * session closes when the floor-second gap between consecutive events of a
    * user exceeds `gapSeconds` — the exact semantics of the batch
-   * sessionizer (q_sessionize) — with open sessions carried in `GroupState`
-   * across micro-batches and flushed by event-time timeout once the
-   * watermark passes their gap window.
+   * sessionizer (q_sessionize).
    *
-   * Scale shape: state is ONE fixed-width row per active user key (no event
-   * buffering — events fold into (start, last, n, sum) on arrival), so state
-   * size is bounded by concurrent users, not traffic. Within a micro-batch
-   * the group's events are sorted by (event-time, event_id) — Spark does not
-   * order the group iterator — which bounds per-batch memory by the largest
-   * single user's batch slice, the same bound any per-user aggregation has.
+   * Watermark-final folding: an event is folded into the session structure
+   * only once the watermark passes its event time — from then on every
+   * arriving event is later, so the fold order is the global event-time
+   * order even when events ARRIVE out of order within the lateness budget
+   * (the round-5 self-review caught the eager-fold version diverging from
+   * batch under any watermarkDelay > 0). A closed session is emitted when
+   * its closer is itself below the watermark, or when the watermark passes
+   * the open session's gap window — both final, so Append mode is correct.
    *
-   * Requires a watermark on `ts` (EventTimeTimeout). Late events older than
-   * the watermark may be dropped by the engine — the caller picks the
-   * lateness budget; StreamingSpec pins stream == batch equality on
-   * time-split input.
+   * Scale shape: per-key state = one open session + the events inside the
+   * watermark lag (delay 0 ⇒ one trigger's tail), so state is bounded by
+   * lateness budget × per-key rate, not stream length. Late events beyond
+   * the watermark are dropped by the engine — the caller picks the budget;
+   * StreamingSpec pins stream == batch on both in-order and out-of-order
+   * admissible input.
    */
   def sessionizeStateful(events: Dataset[SessionEvent], gapSeconds: Long = 1800,
       watermarkDelay: String = "0 seconds"): Dataset[UserSession] = {
@@ -114,43 +128,53 @@ object StreamingOps {
   }
 
   private def sessionFunc(gapSeconds: Long)(userId: Long,
-      events: Iterator[SessionEvent], state: GroupState[OpenSession])
+      events: Iterator[SessionEvent], state: GroupState[SessState])
       : Iterator[UserSession] = {
     def emit(s: OpenSession): UserSession =
       UserSession(userId, s.session_start, s.n_events, round2(s.total_value))
-    if (state.hasTimedOut) {
-      // watermark passed the open session's gap window: it can never be
-      // extended again — flush it
-      val out = state.getOption.map(emit).toList
-      state.remove()
-      out.iterator
-    } else {
-      val sorted = events.toIndexedSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
-      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-      var open = state.getOption
-      sorted.foreach { e =>
-        val sec = Math.floorDiv(epochMicros(e.ts), 1000000L)
-        open match {
-          case Some(s) if sec - s.lastSec <= gapSeconds =>
-            open = Some(s.copy(lastSec = sec, n_events = s.n_events + 1,
-              total_value = s.total_value + e.value))
-          case Some(s) =>
-            closed += emit(s)
-            open = Some(OpenSession(e.ts, sec, 1L, e.value))
-          case None =>
-            open = Some(OpenSession(e.ts, sec, 1L, e.value))
-        }
+    val prev = state.getOption.getOrElse(SessState(Nil, None))
+    val wMicros = state.getCurrentWatermarkMs() * 1000L
+    val wSec = Math.floorDiv(wMicros, 1000000L)
+    val all = prev.pending ++ events
+    // fold ONLY events the watermark has passed — later arrivals are all
+    // strictly after them, so this is the global per-key event-time order
+    val (ripe, fresh) = all.partition(e => epochMicros(e.ts) < wMicros)
+    val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+    var open = prev.open
+    ripe.sortBy(e => (epochMicros(e.ts), e.event_id)).foreach { e =>
+      val sec = Math.floorDiv(epochMicros(e.ts), 1000000L)
+      open match {
+        case Some(s) if sec - s.lastSec <= gapSeconds =>
+          open = Some(s.copy(lastSec = sec, n_events = s.n_events + 1,
+            total_value = s.total_value + e.value))
+        case Some(s) =>
+          // the closer `e` is itself below the watermark, so no future
+          // event can land inside s's gap window — the close is final
+          closed += emit(s)
+          open = Some(OpenSession(e.ts, sec, 1L, e.value))
+        case None =>
+          open = Some(OpenSession(e.ts, sec, 1L, e.value))
       }
-      open.foreach { s =>
-        state.update(s)
-        // fire once the watermark passes last-event + gap; clamp above the
-        // current watermark (a user idle relative to the global stream may
-        // already be past its window — fire at the next trigger)
-        val target = (s.lastSec + gapSeconds + 1) * 1000L
-        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
-      }
-      closed.iterator
     }
+    // the open session is final once the watermark passes its gap window
+    open match {
+      case Some(s) if wSec > s.lastSec + gapSeconds =>
+        closed += emit(s)
+        open = None
+      case _ => ()
+    }
+    if (fresh.isEmpty && open.isEmpty) state.remove()
+    else {
+      state.update(SessState(fresh, open))
+      // wake when the watermark can next make progress: past the open
+      // session's gap window, or past the oldest pending event
+      val targets =
+        open.map(s => (s.lastSec + gapSeconds + 1) * 1000L).toSeq ++
+          (if (fresh.nonEmpty)
+            Seq(fresh.map(e => epochMicros(e.ts)).min / 1000L + 1) else Nil)
+      state.setTimeoutTimestamp(math.max(targets.min, state.getCurrentWatermarkMs() + 1))
+    }
+    closed.iterator
   }
 
   // ---- stateful as-of (point-in-time) join ----
@@ -219,12 +243,18 @@ object StreamingOps {
     if (keep.isEmpty && rightNew.isEmpty && best.isEmpty) state.remove()
     else {
       state.update(AsofState(keep, rightNew, best))
-      if (keep.nonEmpty) {
-        // fire once the watermark passes the oldest pending probe; clamp
-        // above the current watermark (same pattern as sessionFunc)
-        val target = keep.map(l => epochMicros(l.ts)).min / 1000L + 1
-        state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
-      }
+      // wake when the watermark can make progress: past the oldest pending
+      // probe (to emit it) or past the oldest uncompressed right row (to
+      // compress it — without this an idle key's rightRecent would be
+      // retained uncompressed forever). A key left with ONLY rightBest
+      // needs no timeout: its state is already the single-row minimum.
+      val targets =
+        (if (keep.nonEmpty)
+          Seq(keep.map(l => epochMicros(l.ts)).min / 1000L + 1) else Nil) ++
+        (if (rightNew.nonEmpty)
+          Seq(rightNew.map(r => epochMicros(r.ts)).min / 1000L + 1) else Nil)
+      if (targets.nonEmpty)
+        state.setTimeoutTimestamp(math.max(targets.min, state.getCurrentWatermarkMs() + 1))
     }
     out.iterator
   }

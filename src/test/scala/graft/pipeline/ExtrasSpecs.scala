@@ -47,6 +47,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rows(1).getString(3) == "Köln" && rows(1).getString(4) == "de")
   }
 
+  test("malformed percent-escapes do not crash url functions (raw fallback)") {
+    // url_decode THROWS on a bare '%'; the safe decode falls back to the
+    // undecoded text instead of failing the task on one bad row
+    val rows = Seq(
+      "https://en.wikipedia.org/wiki/100%_club",
+      "https://en.wikipedia.org/wiki/Bad%GGescape").toDF("url")
+      .select(TextFunctions.urlToTitle($"url").as("title"),
+        TextFunctions.normalizeQuery($"url").as("q"))
+      .collect()
+    assert(rows(0).getString(0) == "100% club")
+    assert(rows(1).getString(0) == "Bad%GGescape")
+    assert(rows.forall(r => r.getString(1).nonEmpty))
+  }
+
   test("inferred normalization matches reference semantics") {
     val out = Seq("explizit", "EXPLICIT", "implizit", "whatever")
       .toDF("x").select(TextFunctions.normalizeInferred($"x")).collect().map(_.getString(0))

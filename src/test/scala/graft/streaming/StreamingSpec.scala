@@ -81,6 +81,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed aggregation works in APPEND mode — watermark finalizes windows") {
+    // grouping by window(...).getField("start") used to strip the event-time
+    // metadata from the key; Append mode then has no watermark on the
+    // aggregation keys and the query cannot finalize anything
+    val base = 1600000000L * 1000
+    val real = Seq(
+      (1L, new java.sql.Timestamp(base), "view", 1.0),
+      (2L, new java.sql.Timestamp(base + 600000), "view", 2.0),
+      (3L, new java.sql.Timestamp(base + 3600000), "click", 3.0))
+    val schema = real.toDF("event_id", "ts", "event_type", "value").schema
+    val batch = StreamingOps.windowedEventStats(
+      real.toDF("event_id", "ts", "event_type", "value"))
+      .collect().map(_.toSeq).toSet
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-wapp").toString
+    real.toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1050)
+    // far-future sentinel drives the watermark past every real window's end
+    Seq((-1L, new java.sql.Timestamp(base + 100L * 3600000), "sentinel", 0.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingOps.windowedEventStats(stream.withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("wapp_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wapp_out").filter($"event_type" =!= "sentinel")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch, s"append-mode streamed $streamed vs batch $batch")
+      assert(batch.size == 2) // two view events share one hour window + one click window
+    } finally q.stop()
+  }
+
+  test("sessionization folds watermark-late-but-admissible events in event-time order") {
+    import StreamingOps.{SessionEvent, UserSession}
+    // the round-5 self-review scenario: with a 1-hour lateness budget, an
+    // out-of-order event (t=1000s arriving after t=4000s) is admissible —
+    // the eager fold used to corrupt both sessions; the watermark-buffered
+    // fold must produce the batch answer {t0..t1000 (n=2)}, {t4000 (n=1)}
+    val base = 1600000000L
+    def ev(sec: Long, id: Long, v: Double) =
+      (1L, new java.sql.Timestamp((base + sec) * 1000), id, v)
+    val schema = Seq(ev(0, 1, 1.0)).toDF("user_id", "ts", "event_id", "value").schema
+    val inDir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    Seq(Seq(ev(0, 1, 1.0), ev(4000, 2, 2.0)),   // batch 1: creates W = 4000s - 1h = 400s
+        Seq(ev(1000, 3, 4.0)),                   // batch 2: late (1000 > W=400) but admissible
+        Seq((-1L, new java.sql.Timestamp((base + 900000) * 1000), -1L, 0.0))) // sentinel flush
+      .foreach { rows =>
+        rows.toDF("user_id", "ts", "event_id", "value")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        Thread.sleep(1050)
+      }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir).as[SessionEvent]
+    val q = StreamingOps.sessionizeStateful(stream, gapSeconds = 1800,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("late_out").filter($"user_id" >= 0)
+        .as[UserSession].collect()
+        .map(s => (s.session_start.getTime / 1000 - base, s.n_events, s.total_value)).toSet
+      assert(streamed == Set((0L, 2L, 5.0), (4000L, 1L, 2.0)),
+        s"got $streamed")
+    } finally q.stop()
+  }
+
   test("stateful streaming as-of join equals the batch AsofJoin across micro-batches") {
     import StreamingOps.AsofEvent
     // purchases probe the latest prior view (the q_asof_join shape), but on
