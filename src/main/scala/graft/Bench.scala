@@ -57,13 +57,10 @@ object Bench {
       result.canonicalTriples.write.format("noop").mode("overwrite").save())
     val nTriples = phase("triples count")(result.triples.count())
     val dt = (System.nanoTime() - t0) / 1e9
-    result.linked.unpersist()
-    result.docEntities.unpersist()
-    result.triples.unpersist()
     // a PREBUILT canonical map is a session-lived artifact shared by every
     // run against this KB — unpersisting it here would drop the cached
     // checkpoint blocks out from under the next rep
-    if (kbDims.flatMap(_.canonicalMap).isEmpty) result.canonMap.unpersist()
+    result.unpersistStages(keepCanonMap = kbDims.flatMap(_.canonicalMap).nonEmpty)
     (dt, nDocs, nTriples)
   }
 

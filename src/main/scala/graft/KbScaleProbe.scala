@@ -38,7 +38,7 @@ object KbScaleProbe {
         }.mkString(" ")
       }
       val totalChars = docs.map(_.length.toLong).sum
-      docs.foreach(gaz.findMentions) // warm (+ dense build if eligible)
+      docs.foreach(d => gaz.findMentions(d)) // warm (+ dense build if eligible)
       val t1 = System.nanoTime()
       var mentions = 0L
       docs.foreach(d => mentions += gaz.findMentions(d).size)

@@ -33,7 +33,10 @@ object Detect {
    */
   def chunks(corpus: Dataset[SourceFile], size: Int = DefaultChunkSize,
       overlap: Int = DefaultOverlap): Dataset[Chunk] = {
-    require(overlap < size, s"overlap $overlap must be < size $size")
+    // negative overlap would make step > size: characters between chunks
+    // would never be scanned — silent mention loss, not an error
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val spark = corpus.sparkSession
     import spark.implicits._
     val step = size - overlap
@@ -43,11 +46,13 @@ object Detect {
       .withColumn("nChunks",
         when($"len" <= size, lit(1))
           .otherwise(ceil(($"len" - size).cast("double") / step).cast("int") + 1))
-      .select($"docId", $"repo", $"path", $"lang", $"content",
+      .select($"docId", $"repo", $"path", $"lang", $"content", $"nChunks",
         explode(sequence(lit(0), $"nChunks" - 1)).as("chunkId"))
       .withColumn("chunkStart", $"chunkId" * step)
       .withColumn("chunkText", expr(s"substring(content, chunkStart + 1, $size)"))
-      .select($"docId", $"repo", $"path", $"lang", $"chunkId", $"chunkStart", $"chunkText")
+      .withColumn("chunkIsLast", $"chunkId" === $"nChunks" - 1)
+      .select($"docId", $"repo", $"path", $"lang", $"chunkId", $"chunkStart",
+        $"chunkText", $"chunkIsLast")
       .as[Chunk]
   }
 
@@ -64,7 +69,13 @@ object Detect {
     chunks.mapPartitions { it =>
       val g = gaz.value
       it.flatMap { c =>
-        g.findMentions(c.chunkText).map { m =>
+        // interior chunk edges are CUTS, not word boundaries: a cut landing
+        // mid-word ("...Spark|le...") must not let the left chunk emit a
+        // phantom "spark". A mention suppressed at an interior edge is fully
+        // contained — with real context — in the overlapping neighbor chunk
+        // (patterns are shorter than the overlap), so recall is unaffected.
+        g.findMentions(c.chunkText, atDocStart = c.chunkStart == 0,
+            atDocEnd = c.chunkIsLast).map { m =>
           Mention(
             docId = c.docId, repo = c.repo, path = c.path, lang = c.lang,
             chunkId = c.chunkId,

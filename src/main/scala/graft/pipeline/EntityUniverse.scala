@@ -182,8 +182,8 @@ object EntityUniverse {
 
   /** Normalization applied to both alias index and detected surfaces
    * (mirrors reference query normalization, wikipedia_service.py:140-147). */
-  def norm(s: String): String =
-    s.toLowerCase.replace('_', ' ').replaceAll("[()]", "").trim
+  def norm(s: String): String = // Locale.ROOT: join keys must not vary with the JVM's default locale
+    s.toLowerCase(java.util.Locale.ROOT).replace('_', ' ').replaceAll("[()]", "").trim
 
   /** Deterministic type-pair → predicate rule replacing the reference's
    * per-document relation LLM call (relationship_inference.py:217-232).

@@ -115,8 +115,14 @@ final class Gazetteer private (
   }
 
   /** All word-boundary-valid matches, reduced to non-overlapping
-   * longest-match-wins (leftmost-longest), sorted by start offset. */
-  def findMentions(text: String): Vector[Match] = {
+   * longest-match-wins (leftmost-longest), sorted by start offset.
+   * @param atDocStart text position 0 is a REAL document start (a word
+   * boundary); false when the text is an interior chunk whose first char
+   * may be mid-word — matches touching that edge are suppressed (the
+   * overlapping neighbor chunk sees them with real context)
+   * @param atDocEnd same for the text's end */
+  def findMentions(text: String, atDocStart: Boolean = true,
+      atDocEnd: Boolean = true): Vector[Match] = {
     val raw = Vector.newBuilder[Match]
     val dfa = delta
     var state = 0
@@ -132,8 +138,10 @@ final class Gazetteer private (
       while (oi < oe) {
         val p = outFlat(oi)
         val start = i + 1 - patterns(p).length
-        val okLeft = start == 0 || !isWordChar(text.charAt(start - 1))
-        val okRight = i + 1 >= n || !isWordChar(text.charAt(i + 1))
+        val okLeft =
+          if (start == 0) atDocStart else !isWordChar(text.charAt(start - 1))
+        val okRight =
+          if (i + 1 >= n) atDocEnd else !isWordChar(text.charAt(i + 1))
         if (okLeft && okRight) raw += Match(start, i + 1, p)
         oi += 1
       }
@@ -163,7 +171,13 @@ object Gazetteer {
    * [[DenseMaxStates]]); false forces the CSR walk — the path a web-scale
    * dictionary takes — and exists so specs can pin both paths identical. */
   def build(patternsIn: Seq[String], dense: Boolean = true): Gazetteer = {
-    val patterns = patternsIn.map(_.toLowerCase).distinct.filter(_.nonEmpty).toArray
+    // char-wise lowercase — the SAME transform findMentions applies to text
+    // (String.toLowerCase uses the default locale: on a tr-TR JVM pattern
+    // 'Istanbul' would become 'ıstanbul' while the text side maps char-wise
+    // to 'istanbul', silently missing every I-containing alias; build and
+    // match must share one mapping)
+    val patterns = patternsIn.map(_.map(Character.toLowerCase))
+      .distinct.filter(_.nonEmpty).toArray
     val next = mutable.ArrayBuffer[mutable.Map[Char, Int]](mutable.Map.empty)
     val out = mutable.ArrayBuffer[List[Int]](Nil)
 

@@ -31,7 +31,10 @@ final case class Chunk(
     lang: String,
     chunkId: Int,
     chunkStart: Int,
-    chunkText: String)
+    chunkText: String,
+    // true only for the document's final chunk: an interior chunk END is a
+    // CUT, not a word boundary — mention detection must not treat it as one
+    chunkIsLast: Boolean)
 
 /**
  * Raw entity mention (reference R2: openai_service.py:107-122), emitted by the
@@ -167,4 +170,7 @@ final case class LineageRow(
 object PipelineSchema {
   val InferredExplicit = "explicit"
   val InferredImplicit = "implicit"
+  /** Sentinel docId/lang stamped on KGC-lifted triples (they are KB-derived,
+   * not grounded in any document). */
+  val KgcDocId = "kgc"
 }

@@ -103,7 +103,23 @@ final case class PipelineResult(
     docEntities: DataFrame,
     triples: Dataset[Triple],
     canonMap: DataFrame,
-    canonicalTriples: Dataset[CanonicalTriple])
+    canonicalTriples: Dataset[CanonicalTriple]) {
+
+  /** Release this run's persisted stage frames (linked, docEntities,
+   * triples, and — unless owned by the KB provider — the canonical map).
+   * Long-lived sessions running many pipelines (Bench reps, streaming
+   * micro-batches) MUST call this after consuming the result, or each run
+   * leaves its cached blocks behind until LRU eviction thrash.
+   * @param keepCanonMap true when KbDims supplied a prebuilt session-lived
+   * canonical map that later runs will reuse */
+  def unpersistStages(keepCanonMap: Boolean = false): Unit = {
+    linked.unpersist(false)
+    docEntities.unpersist(false)
+    triples.unpersist(false)
+    if (!keepCanonMap) canonMap.unpersist(false)
+    ()
+  }
+}
 
 object Pipeline {
 
@@ -116,8 +132,15 @@ object Pipeline {
   private def ensureMaterialized(df: DataFrame): DataFrame = {
     val checkpointed =
       df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
-    val persisted = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    if (checkpointed || persisted) df else df.localCheckpoint(true)
+    if (checkpointed) df
+    else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      // persisted but possibly never ACTIONED: an eager fill here, or the
+      // two concurrent broadcast builds both hit a cold cache and each
+      // recompute the full subtree (Spark does not dedupe in-flight cache
+      // fills). Cached dims make this count a fast no-op on later runs.
+      df.count()
+      df
+    } else df.localCheckpoint(true)
   }
 
   def run(spark: SparkSession, corpus: Dataset[SourceFile],
@@ -198,11 +221,16 @@ object Pipeline {
     val wikidata = KB.wikidata(spark)
     val dbpedia = KB.dbpedia(spark)
 
-    // stage 1: linked entities
+    // stage 1: linked entities — the SAME config semantics as run():
+    // generateMode stamps mentions implicit, allowedTypes restricts at the
+    // linking boundary (a checkpointed run must not silently diverge from
+    // the in-memory path for the same PipelineConfig)
     if (!Materialize.isComplete(s"$outDir/linked")) {
       val gaz = spark.sparkContext.broadcast(Gazetteer.fromKb(cfg.language))
       val mentions = Detect.rawMentions(
-        Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
+        Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz,
+        inferred = if (cfg.generateMode) PipelineSchema.InferredImplicit
+          else PipelineSchema.InferredExplicit)
       val linkedAll = Link.link(mentions, labels, broadcastDim = cfg.broadcastDims)
       val linked = cfg.allowedTypes
         .map(ts => linkedAll.filter(col("entityType").isin(ts: _*)))
@@ -214,12 +242,20 @@ object Pipeline {
     val linked = Materialize.readStage(spark, "linked", outDir)
       .drop("bucket").as[LinkedEntity].persist()
 
-    // stage 2: deduped triples
+    // stage 2: deduped triples (inferImplicit and validateTriples honored,
+    // mirroring run())
     if (!Materialize.isComplete(s"$outDir/triples")) {
-      val docEntities = Link.docEntities(linked).persist()
+      val baseDocEntities = Link.docEntities(linked)
+      val docEntities = (if (cfg.inferImplicit)
+          Infer.withImplicit(baseDocEntities, wikidata, labels)
+        else baseDocEntities).persist()
       docEntities.count()
+      val rawTriples = Relate.triples(docEntities, wikidata, cfg.broadcastDims)
+      val validated =
+        if (cfg.validateTriples) Relate.validate(rawTriples, docEntities)
+        else rawTriples
       val deduped = Dedup.consolidatePairs(
-        Dedup.exact(Relate.triples(docEntities, wikidata, cfg.broadcastDims)),
+        Dedup.exact(validated),
         fuzzy = cfg.runFuzzyDedup)
       val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
         cfg.kgcRounds, cfg.broadcastDims) else deduped
@@ -270,7 +306,12 @@ object Pipeline {
     // reads types off the entity map): canonical title → entityType is a
     // KB-dimension lookup, broadcast on both endpoints; titles outside the
     // KB keep UNKNOWN — same as the reference's .get(..., "unknown")
-    val typeDim = labels.select($"canonicalTitle", $"entityType").distinct()
+    // ONE deterministic type per title (min), mirroring the reference's
+    // single-valued entity-type map: a title carrying two types would
+    // otherwise multiply candidate rows through the left joins below and
+    // make the min_by tie-break in the novel dedup payload-ambiguous
+    val typeDim = labels.select($"canonicalTitle", $"entityType")
+      .groupBy($"canonicalTitle").agg(min($"entityType").as("entityType"))
     val subjTypes = dim(typeDim
       .select($"canonicalTitle".as("subject"), $"entityType".as("sType")))
     val objTypes = dim(typeDim
@@ -292,12 +333,18 @@ object Pipeline {
           coalesce($"oType", lit("UNKNOWN")).as("objectType"),
           lit(PipelineSchema.InferredImplicit).as("subjectInferred"),
           lit(PipelineSchema.InferredImplicit).as("objectInferred"),
-          lit("kgc").as("docId"), lit("kgc").as("lang"))
+          lit(PipelineSchema.KgcDocId).as("docId"),
+          lit(PipelineSchema.KgcDocId).as("lang"))
         .as[Triple]
-      val novel = candidates
+      // exact-dedup the novel set: kbRel can yield the same (s,p,o) twice
+      // (two KB rows sharing a label with the same target, or a repeated
+      // array element) and the anti-join only removes rows already in
+      // `current` — duplicates WITHIN a round would otherwise break the
+      // exact-dedup invariant downstream consumers assume
+      val novel = Dedup.exact(candidates
         .join(current.select("subject", "predicate", "obj"),
           Seq("subject", "predicate", "obj"), "left_anti")
-        .as[Triple]
+        .as[Triple])
         .localCheckpoint(true)
       grew = novel.limit(1).count() > 0
       if (grew) current = current.unionByName(novel)

@@ -121,14 +121,19 @@ object Relate {
   /** Validity check: both endpoints must be known entities of the document
    * (double semi-join; reference relationship_inference.py:146,174,243-253).
    * In the default pipeline triples are valid by construction; this operator
-   * exists for untrusted triple sources (e.g. KGC rounds). */
+   * exists for untrusted DOCUMENT-GROUNDED triple sources. KGC-lifted rows
+   * (docId = [[PipelineSchema.KgcDocId]]) are KB-derived — no docEntities
+   * row can ever ground them, so they pass through unvalidated rather than
+   * being silently dropped wholesale. */
   def validate(triples: Dataset[Triple], docEntities: DataFrame): Dataset[Triple] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val ents = docEntities.select($"docId", $"entityName")
-    triples
+    val docGrounded = triples.filter($"docId" =!= PipelineSchema.KgcDocId)
+    docGrounded
       .join(ents.withColumnRenamed("entityName", "subject"), Seq("docId", "subject"), "left_semi")
       .join(ents.withColumnRenamed("entityName", "obj"), Seq("docId", "obj"), "left_semi")
       .as[Triple]
+      .unionByName(triples.filter($"docId" === PipelineSchema.KgcDocId))
   }
 }

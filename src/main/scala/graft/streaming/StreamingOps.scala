@@ -62,6 +62,9 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val result = Pipeline.run(spark, batch, cfg, kb)
           result.triples.write.mode("append").parquet(s"$outDir/triples_stream")
+          // every micro-batch runs a full pipeline: without this each batch
+          // leaves three persisted frames behind for the stream's lifetime
+          result.unpersistStages(keepCanonMap = kb.exists(_.canonicalMap.nonEmpty))
         }
         ()
       }

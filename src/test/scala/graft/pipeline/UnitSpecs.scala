@@ -23,6 +23,32 @@ class GazetteerSpec extends AnyFunSuite {
     assert(g.findMentions("a buffer!").map(_.pattern) == Vector("buffer"))
   }
 
+  test("interior chunk edges are cuts, not word boundaries") {
+    val g = Gazetteer.build(Seq("spark"))
+    // standalone text: edges ARE document edges
+    assert(g.findMentions("spark").map(_.pattern) == Vector("spark"))
+    // interior chunk slice: matches touching a cut edge are suppressed
+    assert(g.findMentions("spark", atDocStart = false, atDocEnd = false).isEmpty)
+    assert(g.findMentions("spark on", atDocStart = false).isEmpty)
+    assert(g.findMentions("a spark", atDocEnd = false).isEmpty)
+    assert(g.findMentions("a spark b", atDocStart = false, atDocEnd = false)
+      .map(_.pattern) == Vector("spark"))
+  }
+
+  test("a chunk cut inside a longer word yields no phantom mention end-to-end") {
+    import SparkHolder.spark
+    import spark.implicits._
+    // size=10/overlap=5 cuts "xxxxxsparkle yy spark z" at offset 10 — right
+    // after the 'spark' prefix of 'sparkle'. The eager boundary treated the
+    // cut as a word end and emitted a phantom "spark" at offset 5; only the
+    // real mention at offset 16 (inside the final chunk) may survive.
+    val corpus = Seq(SourceFile("r", "p", "c0", "md", "xxxxxsparkle yy spark z")).toDS()
+    val gaz = spark.sparkContext.broadcast(Gazetteer.build(Seq("spark")))
+    val ms = Detect.mentions(corpus, gaz, size = 10, overlap = 5).collect()
+    assert(ms.map(m => (m.citationStart, m.citationEnd)).toSeq == Seq((16, 21)))
+    assert(ms.head.surface == "spark")
+  }
+
   test("offsets are exact") {
     val g = Gazetteer.build(Seq("veldt"))
     val text = "xx Veldt yy veldt"
