@@ -29,10 +29,15 @@ object Link {
   /** Candidate rows: one per (mention, KB alias hit) — the full candidate
    * set, used by tests and diagnostics; the pipeline links against the
    * per-alias argmax of this. */
-  def candidates(mentions: Dataset[Mention], labels: Dataset[KbLabel]): DataFrame = {
-    val kindPrio = when(col("aliasKind") === "exact", 0)
+  /** Alias-kind priority (exact > redirect > synonym) — ONE definition for
+   * every ranking site so the tie order cannot drift between the candidate
+   * view and the per-alias argmax. */
+  private def kindPrio: org.apache.spark.sql.Column =
+    when(col("aliasKind") === "exact", 0)
       .when(col("aliasKind") === "redirect", 1)
       .otherwise(2)
+
+  def candidates(mentions: Dataset[Mention], labels: Dataset[KbLabel]): DataFrame = {
     mentions.join(
         broadcast(labels.withColumn("kindPriority", kindPrio)
           .withColumnRenamed("lang", "kbLang")), // KB lang must not shadow the document lang
@@ -45,9 +50,6 @@ object Link {
   /** Per-alias best candidate: argmax by (kind priority, popularity desc,
    * qid asc). KB-dimension-sized — the one place a sort-aggregate is fine. */
   def bestPerAlias(labels: Dataset[KbLabel]): DataFrame = {
-    val kindPrio = when(col("aliasKind") === "exact", 0)
-      .when(col("aliasKind") === "redirect", 1)
-      .otherwise(2)
     val payload = struct(
       col("canonicalTitle"), col("qid"), col("entityType"), col("popularity"),
       col("extract"), col("categories"), col("kindPriority"))

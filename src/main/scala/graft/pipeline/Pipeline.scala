@@ -296,12 +296,10 @@ object Pipeline {
       rounds: Int, broadcastDims: Boolean = true): Dataset[Triple] = {
     import spark.implicits._
     def dim(df: DataFrame): DataFrame = if (broadcastDims) broadcast(df) else df
-    val kbRel = wikidata.select($"label".as("kSubject"),
-        explode(concat(
-          transform($"partOf", t => struct(lit(EntityUniverse.PredPartOf).as("pred"), t.as("target"))),
-          transform($"memberOf", t => struct(lit(EntityUniverse.PredMemberOf).as("pred"), t.as("target")))
-        )).as("rel"))
-      .select($"kSubject", $"rel.pred".as("kPred"), $"rel.target".as("kObj"))
+    // the same KB lift as Relate.implicitTriples, keyed by label (KGC walks
+    // the graph by entity name, not per-document qid)
+    val kbRel = Relate.kbRelations(wikidata, "label")
+      .select($"kKey".as("kSubject"), $"predicate".as("kPred"), $"target".as("kObj"))
     // endpoint type enrichment (reference relationship_inference.py:137-142
     // reads types off the entity map): canonical title → entityType is a
     // KB-dimension lookup, broadcast on both endpoints; titles outside the

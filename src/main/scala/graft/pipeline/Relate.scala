@@ -78,16 +78,26 @@ object Relate {
    * dim measured at 581 MB/1M entities by KbScaleProbe). false = shuffled
    * hash join on qid for KBs past the ~5 GB broadcast ceiling (real
    * Wikidata: 1.1e8 labels). Both paths pinned identical in ScaleKbSpec. */
-  def implicitTriples(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
-      broadcastDim: Boolean = true): DataFrame = {
-    val spark = docEntities.sparkSession
+  /** KB partOf/memberOf relations exploded to (key, predicate, target)
+   * rows, keyed by `keyCol` — "qid" for the per-document implicit lift,
+   * "label" for KGC. ONE definition so the two lift sites cannot drift
+   * (a new lifted predicate lands in both or neither). */
+  def kbRelations(wikidata: Dataset[KbWikidata], keyCol: String): DataFrame = {
+    val spark = wikidata.sparkSession
     import spark.implicits._
-    val kbRel = wikidata.select($"qid",
+    wikidata.select(col(keyCol).as("kKey"),
         explode(concat(
           transform($"partOf", t => struct(lit(EntityUniverse.PredPartOf).as("pred"), t.as("target"))),
           transform($"memberOf", t => struct(lit(EntityUniverse.PredMemberOf).as("pred"), t.as("target")))
         )).as("rel"))
-      .select($"qid", $"rel.pred".as("predicate"), $"rel.target".as("target"))
+      .select($"kKey", $"rel.pred".as("predicate"), $"rel.target".as("target"))
+  }
+
+  def implicitTriples(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
+      broadcastDim: Boolean = true): DataFrame = {
+    val spark = docEntities.sparkSession
+    import spark.implicits._
+    val kbRel = kbRelations(wikidata, "qid").withColumnRenamed("kKey", "qid")
     val kbRelDim = if (broadcastDim) broadcast(kbRel) else kbRel
     val lifted = docEntities.as("e")
       .join(kbRelDim.as("k"), $"e.qid" === $"k.qid", "inner")
