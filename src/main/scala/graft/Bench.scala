@@ -111,9 +111,10 @@ object Bench {
       name -> (if (reps(1) >= 0) reps.min else reps.head)
     }
 
-    // free the dedup/pack ops' persisted intermediates before the pipeline bench
+    // free the dedup/pack/sim ops' persisted intermediates before the pipeline bench
     graft.ops.DedupOps.unpersistIntermediates()
     graft.ops.PackOps.unpersistIntermediates()
+    graft.ops.SimOps.unpersistIntermediates()
 
     Bench.runPipelineBench(spark, math.max(1000L, nFiles / 10)) // warm-up
     val run1 = runPipelineBench(spark, nFiles)

@@ -18,6 +18,22 @@ import graft.functions.VectorFunctions._
  */
 object SimOps {
 
+  /** Persisted intermediates from the pairwise entry points (the normalized
+   * vector frame feeds the banding pass AND both verify sides). Same drain
+   * contract as [[DedupOps.unpersistIntermediates]]. */
+  private val persistedIntermediates =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def registerPersisted(df: DataFrame): DataFrame = synchronized {
+    persistedIntermediates += df
+    df
+  }
+
+  def unpersistIntermediates(): Unit = synchronized {
+    persistedIntermediates.foreach(_.unpersist(false))
+    persistedIntermediates.clear()
+  }
+
   /** Σ aᵢ·bᵢ — codegen expression, not an interpreted HOF. */
   def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
@@ -99,8 +115,13 @@ object SimOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).persist()
+    // dense centroid ids via row_number over the k seed rows: casting the
+    // vector id itself to int overflows (ANSI error) or collides for
+    // 64-bit ids and nulls out for string ids — the cid is an index, not
+    // the id (the window runs on the k-row seed frame, not the corpus)
     var centroids = vecs.orderBy("id").limit(k)
-      .select(col("id").cast("int").as("cid"), col("v").as("centroid"))
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("id")).as("cid"), col("v").as("centroid"))
       .localCheckpoint(true)
     (0 until iterations).foreach { _ =>
       val assigned = assign(vecs, centroids)
@@ -206,8 +227,11 @@ object SimOps {
       bands: Int = 32, rowsPerBand: Int = 8, minBandHits: Int = 2,
       bucketCap: Int = 100000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val vecs = embeddings.select(col(idCol).as("id"),
-      normalize(col(vecCol).cast("array<double>")).as("v"))
+    // persisted: this projection (full scan + per-row L2 normalize) feeds
+    // the banding pass AND both verify sides — unpersisted it would run
+    // three times per call (caller drains via unpersistIntermediates)
+    val vecs = registerPersisted(embeddings.select(col(idCol).as("id"),
+      normalize(col(vecCol).cast("array<double>")).as("v")).persist())
     // band signatures in one codegen pass per row (sign bits are
     // scale-invariant, so signatures of normalized vectors equal raw ones)
     val bandedAll = vecs

@@ -68,8 +68,10 @@ object Canonicalize {
         .unionByName(labels)
         .groupBy($"id").agg(min($"component").as("newComponent"))
       val next0 = propagated.withColumnRenamed("newComponent", "component")
-      val next = (if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
-        else next0).persist()
+      // checkpointed frames are already materialized RDDs — persisting them
+      // too would double-cache every third label frame
+      val next = if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
+        else next0.persist()
       if (iter + 1 >= minIterations) {
         // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI.
         // sum() over ZERO rows is NULL — an empty edge set (e.g. a dedup
@@ -87,7 +89,19 @@ object Canonicalize {
     }
     sym.unpersist()
     edgesD.unpersist()
-    labels
+    // a silent unconverged return would emit cluster FRAGMENTS whose ids
+    // point at non-canonical interior nodes — fail loudly instead (raise
+    // maxIter for graphs of larger diameter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter iterations " +
+        "(graph diameter exceeds the cap) — raise maxIter")
+    // hand back an RDD-backed frame and release the loop's cache: callers
+    // never unpersist the result, and a permanently cached label frame per
+    // dedup run would accumulate for the session's lifetime (checkpoint
+    // blocks are freed by the ContextCleaner once the frame is unreachable)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    out
   }
 
   /** Cluster election over an undirected (src, dst) edge set: connected
@@ -97,8 +111,8 @@ object Canonicalize {
    * [[graft.ops.SimOps.cosineDupClusters]]). One definition so the two
    * modalities can never silently diverge in election semantics.
    * Output: (idCol, cluster_id, is_canonical) for every node on ≥ 1 edge. */
-  def electClusters(edges: DataFrame, idCol: String): DataFrame =
-    connectedComponents(edges)
+  def electClusters(edges: DataFrame, idCol: String, maxIter: Int = 20): DataFrame =
+    connectedComponents(edges, maxIter = maxIter)
       .select(col("id").as(idCol), col("component").as("cluster_id"))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
 
@@ -190,7 +204,12 @@ object Canonicalize {
     }
     val cc = connectedComponents(
       surfaceToQid.unionByName(qidToDbp).unionByName(fallback), minIterations = 3)
-    titleQid.select($"canonicalTitle".as("entityName"))
+    // one map row per NAME: two KB entities sharing a canonicalTitle share
+    // the same n: node (and hence component) — without the distinct the
+    // name-keyed map would carry duplicate rows and fan out every triple
+    // touching that name in canonicalTriples (canonicalMap() already
+    // guards this with its distinct on the linked side)
+    titleQid.select($"canonicalTitle".as("entityName")).distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
       .join(cc, $"nodeId" === cc("id"), "left")
       .select($"entityName", coalesce($"component", $"nodeId").as("canonicalId"))

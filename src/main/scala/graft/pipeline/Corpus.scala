@@ -163,8 +163,12 @@ object Corpus {
     // materialized by pre-fix code (writer-parallelism layout) or with a
     // different target file count must regenerate, or the stale layout
     // silently reintroduces the row-group scan cap this sizing exists to fix.
+    // seed + numRepos INCLUDED: a corpus regenerated with different plan
+    // parameters at the same size must not be silently reused (the goldens
+    // are computed from the plan, not the files)
     val markerContent = java.util.Arrays.asList(
-      "layout=v2", s"numFiles=$numFiles", s"nOutFiles=$nOutFiles")
+      "layout=v2", s"numFiles=$numFiles", s"nOutFiles=$nOutFiles",
+      s"seed=$seed", s"numRepos=$numRepos")
     val upToDate = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readAllLines(marker) == markerContent
     if (!upToDate) {
@@ -298,7 +302,8 @@ object Corpus {
     val nOutFiles = math.max(64, (numFiles / 10000L).toInt)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_CORPUS_OK")
     val markerContent = java.util.Arrays.asList(
-      "layout=v2-scaled", s"numFiles=$numFiles", s"kbSize=$kbSize", s"nOutFiles=$nOutFiles")
+      "layout=v2-scaled", s"numFiles=$numFiles", s"kbSize=$kbSize", s"nOutFiles=$nOutFiles",
+      s"seed=$seed", s"numRepos=$numRepos")
     val upToDate = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readAllLines(marker) == markerContent
     if (!upToDate) {

@@ -30,10 +30,15 @@ object Infer {
    * merge, mirroring the reference's dict overwrite. Output schema matches
    * Link.docEntities.
    */
+  /** @param broadcastDim ship the two KB dims as broadcast build sides —
+   * the same cutover every sibling stage carries (Link/Relate/kgc/
+   * Canonicalize); false = shuffled joins for KBs past the ~5 GB broadcast
+   * ceiling. */
   def implicitDocEntities(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
-      labels: Dataset[KbLabel]): DataFrame = {
+      labels: Dataset[KbLabel], broadcastDim: Boolean = true): DataFrame = {
     val spark = docEntities.sparkSession
     import spark.implicits._
+    def dim(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
     val kbRel = wikidata.select($"qid",
       explode(concat($"partOf", $"hasParts", $"memberOf")).as("target"))
     // target title → its own KB identity (qid + type), from the exact-alias rows
@@ -42,10 +47,10 @@ object Infer {
         $"entityType".as("targetType"))
       .dropDuplicates("target")
     val lifted = docEntities
-      .join(broadcast(kbRel), Seq("qid"))
+      .join(dim(kbRel.toDF()), Seq("qid"))
       .select($"docId", $"repo", $"path", $"lang", $"target")
       .distinct()
-      .join(broadcast(targetInfo), Seq("target"))
+      .join(dim(targetInfo), Seq("target"))
     lifted.select(
       $"docId", $"target".as("entityName"), $"repo", $"path", $"lang",
       $"targetType".as("entityType"), $"targetQid".as("qid"),
@@ -71,7 +76,7 @@ object Infer {
 
   /** Full inference pass as wired by the pipeline. */
   def withImplicit(docEntities: DataFrame, wikidata: Dataset[KbWikidata],
-      labels: Dataset[KbLabel]): DataFrame =
+      labels: Dataset[KbLabel], broadcastDim: Boolean = true): DataFrame =
     mergeExplicitOverImplicit(docEntities,
-      implicitDocEntities(docEntities, wikidata, labels))
+      implicitDocEntities(docEntities, wikidata, labels, broadcastDim))
 }

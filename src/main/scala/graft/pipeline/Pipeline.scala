@@ -173,7 +173,7 @@ object Pipeline {
     val linked = linkedFiltered.persist()
     val baseDocEntities = Link.docEntities(linked)
     val docEntities = (if (cfg.inferImplicit)
-        Infer.withImplicit(baseDocEntities, wikidata, labels)
+        Infer.withImplicit(baseDocEntities, wikidata, labels, cfg.broadcastDims)
       else baseDocEntities).persist()
     // materialize EAGERLY and sequentially: AQE runs broadcast builds and
     // independent stages concurrently, and concurrent consumers of a cold
@@ -247,7 +247,7 @@ object Pipeline {
     if (!Materialize.isComplete(s"$outDir/triples")) {
       val baseDocEntities = Link.docEntities(linked)
       val docEntities = (if (cfg.inferImplicit)
-          Infer.withImplicit(baseDocEntities, wikidata, labels)
+          Infer.withImplicit(baseDocEntities, wikidata, labels, cfg.broadcastDims)
         else baseDocEntities).persist()
       docEntities.count()
       val rawTriples = Relate.triples(docEntities, wikidata, cfg.broadcastDims)
