@@ -255,7 +255,9 @@ object MediaOps {
    * extractor plugs into. */
   def sampleFrames(media: Dataset[MediaFile], stride: Int): DataFrame =
     media.toDF()
-      .filter(col("kind") === "video")
+      // frames <= 0 is a legal MediaFile value and must yield ZERO frame
+      // rows, not an illegal-sequence-boundaries crash from sequence(0, -1)
+      .filter(col("kind") === "video" && col("frames") > 0)
       .select(col("mediaId"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(stride))).as("frameIdx"))
 }

@@ -61,10 +61,12 @@ object Skew {
       .agg(sum("_partial").as("cnt"))
   }
 
-  /** Salted distinct-count: phase 1 dedups (key, value, salt...) — value in
-   * the grouping key so dedup itself spreads — phase 2 exact distinct count. */
-  def saltedDistinctCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-      saltBuckets: Int = 16): DataFrame = {
+  /** Skew-safe distinct-count: phase 1 dedups on (key, value) — the value
+   * in the grouping key spreads a hot key across reducers WITHOUT an
+   * explicit salt (the composite is already high-cardinality, so a salt
+   * column would add shuffle width for nothing) — phase 2 counts the
+   * pre-shrunk rows per key. */
+  def saltedDistinctCount(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     // dedup on (key, value) is itself a hash aggregate over a
     // higher-cardinality composite key, so the hot key spreads naturally;
     // the final count per key aggregates pre-shrunk rows

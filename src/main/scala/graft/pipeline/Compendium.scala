@@ -52,6 +52,15 @@ object Compendium {
         .otherwise(capped))
     linked
       .filter($"wikipediaExtract".isNotNull)
+      // ONE extract per (doc, entity): linked is mention-level, and an
+      // entity mentioned k times would repeat its extract k times, burning
+      // the length budget on duplicates (the reference assembles from the
+      // deduped per-doc entity list, compendium_service.py:17-43). First
+      // occurrence keeps the citation order; min() on the extract is a
+      // deterministic pick of identical values.
+      .groupBy($"docId", $"entityName")
+      .agg(min($"citationStart").as("citationStart"),
+        min($"wikipediaExtract").as("wikipediaExtract"))
       .groupBy($"docId")
       .agg(
         // collect in first-occurrence order via sort on (offset, text)
@@ -63,8 +72,9 @@ object Compendium {
         // numbered, order-preserving-deduped reference list
         transform(
           dedupPreserveOrder(transform($"ordered", x =>
-            concat(lit("https://en.wikipedia.org/wiki/"),
-              replace(x.getField("entityName"), lit(" "), lit("_"))))),
+            graft.functions.TextFunctions.sanitizeWikipediaUrl(
+              concat(lit("https://en.wikipedia.org/wiki/"),
+                replace(x.getField("entityName"), lit(" "), lit("_")))))),
           ref => ref)
           .as("references"))
       .withColumn("referencesNumbered",

@@ -36,11 +36,12 @@ object Generate {
    */
   def selectEntities(topics: DataFrame, labels: Dataset[KbLabel],
       maxEntities: Int = 10): DataFrame = {
-    // topic normalization mirrors the alias norm (underscores = spaces), so
-    // CLI-supplied topics like "stream_processing_with_lumina" tokenize
+    // topic normalization mirrors the FULL alias norm (lowercase,
+    // underscores = spaces, parens stripped, trimmed) so "streams (lumina)"
+    // tokenizes to the same "lumina" the alias index carries
     val topicToks = topics.select(col("topicId"), col("topic"),
       explode(array_distinct(split(
-        lower(regexp_replace(col("topic"), "[_]+", " ")), "\\s+"))).as("tok"))
+        graft.functions.TextFunctions.labelNorm(col("topic")), "\\s+"))).as("tok"))
     val aliasToks = labels
       .select(col("canonicalTitle"), col("qid"), col("entityType"),
         col("popularity"), col("extract"),

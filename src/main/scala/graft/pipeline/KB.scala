@@ -19,14 +19,6 @@ import org.apache.spark.sql.{Dataset, SparkSession}
  */
 object KB {
 
-  /** Alias-kind priority for deterministic link scoring: exact beats redirect
-   * beats synonym (mirrors the reference's short-circuit fallback order,
-   * linker.py:63-121). */
-  def kindPriority(kind: String): Int = kind match {
-    case "exact" => 0
-    case "redirect" => 1
-    case _ => 2
-  }
 
   def labelRows: Seq[KbLabel] =
     EntityUniverse.all.flatMap { e =>
@@ -146,7 +138,15 @@ object KB {
    * canonical title (what that language's Wikipedia resolves to), before any
    * translation. For entities with no localized title the en title doubles
    * as the local one (proper nouns share titles across wikis). */
-  def labelRowsLocal(lang: String): Seq[KbLabel] =
+  /** Fixture languages with local surfaces. A language outside this set
+   * must fail loudly: the old fallthrough served GERMAN surfaces labeled as
+   * the requested language and a langlinks filter that matched nothing, so
+   * e.g. --language=fr silently mis-linked every localized entity. */
+  val SupportedLanguages: Set[String] = Set("en", "de")
+
+  def labelRowsLocal(lang: String): Seq[KbLabel] = {
+    require(SupportedLanguages.contains(lang),
+      s"unsupported pipeline language '$lang' — fixture KB carries ${SupportedLanguages.mkString("/")}")
     if (lang == "en") labelRows
     else EntityUniverse.all.flatMap { e =>
       val localTitle = EntityUniverse.deTitles.getOrElse(e.title, e.title)
@@ -165,6 +165,7 @@ object KB {
           categories = e.categories)
       }
     }
+  }
 
   /**
    * TRANSLATE-FIRST alias index for a configured pipeline language
@@ -178,6 +179,8 @@ object KB {
    * the title, then query the English endpoints. */
   def labelsForLang(spark: SparkSession, lang: String): Dataset[KbLabel] = {
     import spark.implicits._
+    require(SupportedLanguages.contains(lang),
+      s"unsupported pipeline language '$lang' — fixture KB carries ${SupportedLanguages.mkString("/")}")
     if (lang == "en") labels(spark)
     else {
       import org.apache.spark.sql.functions._

@@ -21,7 +21,8 @@ object Package {
       docEntities: DataFrame,
       wikidata: Dataset[KbWikidata],
       dbpedia: Dataset[KbDbpedia],
-      wikipediaDetails: Option[Dataset[KbWikipediaDetails]] = None): DataFrame = {
+      wikipediaDetails: Option[Dataset[KbWikipediaDetails]] = None,
+      dbpediaLookup: Option[DataFrame] = None): DataFrame = {
     val withSpans = Link.packagedEntities(linked, docEntities)
     val wd = broadcast(wikidata.toDF()
       .select(col("qid").as("wdQid"), col("label").as("wdLabel"),
@@ -50,11 +51,28 @@ object Package {
       .join(base, col("docId") === col("lDocId") && col("entityName") === col("lName"), "left")
       .join(wd, col("qid") === col("wdQid"), "left")
       .join(dbp, col("qid") === col("dbQid"), "left")
-    val joined = wikipediaDetails match {
+    val joined1 = wikipediaDetails match {
       case Some(det) => joined0.join(
         broadcast(det.toDF().withColumnRenamed("title", "detTitle")),
         col("wikipediaTitle") === col("detTitle"), "left")
       case None => joined0
+    }
+    // DBpedia Lookup fallback (dbpedia_service.py:103-197): entities whose
+    // qid has no row in the qid-keyed dim still get a dbpedia block via the
+    // label-keyed Lookup table — the same fallback Stats.linkedShares
+    // counts, so the result document and statistics.json agree on which
+    // entities are dbpedia-linked
+    val joined = dbpediaLookup match {
+      case Some(lookup) => joined1.join(
+        broadcast(lookup
+          .select(col("labelNorm"), col("resourceUri").as("lkUri"),
+            col("abstractText").as("lkAbstract"))
+          .dropDuplicates("labelNorm")),
+        graft.functions.TextFunctions.labelNorm(col("entityName")) === col("labelNorm"),
+        "left")
+      case None => joined1
+        .withColumn("lkUri", lit(null).cast("string"))
+        .withColumn("lkAbstract", lit(null).cast("string"))
     }
 
     joined
@@ -96,9 +114,9 @@ object Package {
             graft.functions.TextFunctions.trimWikidataTime(col("deathDate")).as("death_date"),
             graft.functions.TextFunctions.trimWikidataTime(col("foundingDate")).as("founding_date"),
             col("gndId").as("gnd_id"))).as("wikidata"),
-          when(col("dbQid").isNotNull, struct(
-            col("resourceUri").as("resource_uri"),
-            col("abstractText").as("abstract"),
+          when(col("dbQid").isNotNull || col("lkUri").isNotNull, struct(
+            coalesce(col("resourceUri"), col("lkUri")).as("resource_uri"),
+            coalesce(col("abstractText"), col("lkAbstract")).as("abstract"),
             col("dbTypes").as("types"),
             col("subjects"),
             col("dbPartOf").as("part_of"),

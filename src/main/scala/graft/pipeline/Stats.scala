@@ -78,7 +78,13 @@ object Stats {
    * is a broadcast-array `exists` — no join needed. */
   def topCategories(linked: Dataset[LinkedEntity], k: Int = 10): DataFrame = {
     val kw = array(KB.maintenanceKeywords.map(lit): _*)
+    // one count per (doc, entity), not per MENTION: a single chatty document
+    // must not multiply its entities' categories relative to the
+    // docEntities-based top_wikidata_*/top_dbpedia_* stats in the same block
+    // (categories are identical across a doc-entity's mentions, so the
+    // dropDuplicates survivor is value-deterministic)
     linked
+      .dropDuplicates("docId", "entityName")
       .select(explode(col("categories")).as("category"))
       .filter(!exists(kw, w => contains(lower(col("category")), w)))
       .groupBy(col("category")).agg(count(lit(1)).as("cnt"))
@@ -140,7 +146,17 @@ object Stats {
   }
 
   private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // control chars too: a newline/tab in an entity name or category from
+    // an external KB would otherwise emit illegal JSON
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def topJson(rows: Array[org.apache.spark.sql.Row], key: String): String =
     rows.map(r => s"""{"$key": "${esc(r.getString(0))}", "count": ${r.getLong(1)}}""")

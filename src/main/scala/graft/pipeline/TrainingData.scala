@@ -36,8 +36,11 @@ object TrainingData {
     docEntities
       .withColumn("line", concat_ws("; ",
         col("entityName"), col("entityType"),
-        concat(lit("https://en.wikipedia.org/wiki/"),
-          replace(col("entityName"), lit(" "), lit("_"))),
+        // sanitized like Package's URLs — the same entity must not carry a
+        // raw URL here and an escaped one in the result document
+        graft.functions.TextFunctions.sanitizeWikipediaUrl(
+          concat(lit("https://en.wikipedia.org/wiki/"),
+            replace(col("entityName"), lit(" "), lit("_")))),
         if (docEntities.columns.contains("citation"))
           coalesce(col("citation"), col("entityName"))
         else col("entityName")))

@@ -34,7 +34,8 @@ class FullDocumentGoldenSpec extends AnyFunSuite {
 
     val packaged = Package.packagedEntities(
       result.linked, result.docEntities, KB.wikidata(spark), KB.dbpedia(spark),
-      Some(KB.wikipediaDetails(spark)))
+      Some(KB.wikipediaDetails(spark)),
+      dbpediaLookup = Some(KB.dbpediaLookup(spark))) // same fallback statisticsJson counts
     val docs = Package.resultDocuments(packaged, result.triples)
       .filter(col("docId") === docId)
       // deterministic member order regardless of partitioning: array_sort

@@ -12,6 +12,24 @@ class PackageSpec extends AnyFunSuite {
   private lazy val packaged = Package.packagedEntities(
     result.linked, result.docEntities, KB.wikidata(spark), KB.dbpedia(spark)).persist()
 
+  test("lookup-only entities get a dbpedia block when the Lookup fallback is passed") {
+    // Veldt's qid is deliberately absent from the qid-keyed dbpedia dim and
+    // reachable only via the label-keyed Lookup table — without the fallback
+    // the result document said "no DBpedia source" while statistics.json
+    // (which counts the same fallback) said dbpedia-linked
+    val noFallback = packaged.filter($"entity" === "Veldt")
+      .select($"sources.dbpedia").collect()
+    val withFallback = Package.packagedEntities(
+        result.linked, result.docEntities, KB.wikidata(spark), KB.dbpedia(spark),
+        dbpediaLookup = Some(KB.dbpediaLookup(spark)))
+      .filter($"entity" === "Veldt")
+      .select($"sources.dbpedia.resource_uri", $"sources.dbpedia.abstract").collect()
+    assert(noFallback.nonEmpty && noFallback.forall(_.isNullAt(0)))
+    assert(withFallback.nonEmpty && withFallback.forall(r =>
+      r.getString(0) != null && r.getString(0).contains("dbpedia") &&
+        r.getString(1) != null))
+  }
+
   test("packaged entities carry exact citation spans into document text") {
     val byDoc = corpus.collect().map(f => Corpus.docId(f.repo, f.path) -> f.content).toMap
     val rows = packaged.select($"docId", $"details.citation",
