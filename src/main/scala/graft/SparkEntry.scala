@@ -188,11 +188,17 @@ object SparkEntry {
 
     // ---- graph degree (§2.6 entity_connections) ----
     "q_distinct_degree" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
-          concat(lit("s"), col("l_suppkey")).as("nbr"))
-        .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
-          concat(lit("p"), col("l_partkey")).as("nbr")))
+      // ONE scan + explode instead of a two-scan union (guide §2.4), and
+      // fanOut of the narrow 2-column projection so the string building +
+      // partial aggregation use the whole machine (Par.fanOut doc)
+      val li = graft.ops.Par.fanOut(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")))
+      val e = li.select(explode(array(
+          struct(concat(lit("p"), col("l_partkey")).as("node"),
+            concat(lit("s"), col("l_suppkey")).as("nbr")),
+          struct(concat(lit("s"), col("l_suppkey")).as("node"),
+            concat(lit("p"), col("l_partkey")).as("nbr")))).as("e"))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
       e.groupBy(col("node")).agg(countDistinct(col("nbr")).as("degree"))
         .orderBy(desc("degree"), col("node")).limit(50)
     }),
@@ -238,17 +244,20 @@ object SparkEntry {
         .orderedBy(col("doc_id"))
     }),
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      graft.ops.Par.fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderedBy(col("doc_id"))
     }),
     "q_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      // fanOut: langId is 4 interpreted higher-order filters over a
+      // re-tokenized text — the most per-row-expensive projection of the
+      // text suite; single-task in the scan stage otherwise (Par.fanOut doc)
+      graft.ops.Par.fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderedBy(col("doc_id"))
     }),
     "q_quality" -> ((s, dir) => {
-      TextOps.quality(t(s, dir, "documents"))
+      TextOps.quality(graft.ops.Par.fanOut(t(s, dir, "documents")))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("mean_token_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
         .orderedBy(col("doc_id"))
@@ -337,7 +346,8 @@ object SparkEntry {
       import s.implicits._
       val terms = Seq("spark", "join", "window", "hash")
       val gazB = s.sparkContext.broadcast(graft.pipeline.Gazetteer.build(terms))
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      graft.ops.Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
         .mapPartitions { it =>
           val g = gazB.value
           it.flatMap { case (id, text) =>
@@ -368,11 +378,15 @@ object SparkEntry {
     // ---- approximate distinct degree (the 10^12-scale fallback for
     // entity_connections; rows-only check: HLL estimates are engine-specific) ----
     "q_distinct_degree_approx" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
-          concat(lit("s"), col("l_suppkey")).as("nbr"))
-        .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
-          concat(lit("p"), col("l_partkey")).as("nbr")))
+      // same one-scan explode + fanOut shape as q_distinct_degree
+      val li = graft.ops.Par.fanOut(
+        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")))
+      val e = li.select(explode(array(
+          struct(concat(lit("p"), col("l_partkey")).as("node"),
+            concat(lit("s"), col("l_suppkey")).as("nbr")),
+          struct(concat(lit("s"), col("l_suppkey")).as("node"),
+            concat(lit("p"), col("l_partkey")).as("nbr")))).as("e"))
+        .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
       e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("degree_approx"))
         .orderedBy(col("node"))
     }),

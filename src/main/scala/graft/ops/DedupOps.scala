@@ -40,7 +40,7 @@ object DedupOps {
   /** Exact-duplicate clusters: fingerprint → (clusterId = min doc_id,
    * cluster size), keeping only real duplicates (size > 1). */
   def exactClusters(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    Par.fanOut(docs).select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("cluster_id"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)
@@ -67,7 +67,11 @@ object DedupOps {
         sequence(lit(0), size(toks) - n),
         i => concat_ws("\u0001", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    // fanOut BEFORE the generator: the tokenize + n-gram assembly is
+    // interpreted (HOFs are CodegenFallback) and would otherwise run inside
+    // the scan stage's 1-2 tasks on small inputs — measured 3.7 s single-task
+    // vs 0.57 s fanned for this exact pass (ProbeR06, round 6); no-op at scale
+    Par.fanOut(docs).select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= threshold).
@@ -83,10 +87,16 @@ object DedupOps {
     // inverted-index self-join: pairs stream out of the shingle-partitioned
     // join (an in-row k² array materialization was measured 7x slower).
     // dfCap drops ubiquitous shingles (SparkER-style blocking-key filter):
-    // they cost k² candidates and carry no near-dup signal.
+    // they cost k² candidates and carry no near-dup signal. The cap is a
+    // KEY-level filter, so applying it to ONE side of the self-join yields
+    // the identical pair set (a capped shingle contributes no join rows
+    // once either side drops it) at half the df-join cost — the right side
+    // joins the cached shingle frame directly. df is projected away before
+    // the exchange (guide §2.3: shuffle only what the join needs).
     val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val filtered = sh.join(dfCounts.filter(col("df") <= dfCap), Seq("shingle"))
-    val inter = filtered.as("l").join(filtered.as("r"),
+      .select(col("shingle"), col("id"))
+    val inter = filtered.as("l").join(sh.as("r"),
         col("l.shingle") === col("r.shingle") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -231,7 +241,9 @@ object DedupOps {
    * combined (id, 32 longs) rows. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokenHash: Column => Column = hash(_)): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
+    // fanOut: same single-task-scan-stage fix as shingles() — the
+    // normalize + tokenize + explode is the expensive narrow stage here
+    val tok = Par.fanOut(docs).select(col(idCol).as("id"),
       explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .withColumn("hv", tokenHash(col("w")))
     val votes = (0 until 32).map(i =>

@@ -75,19 +75,24 @@ object SimilarityJoin {
   def roSelfJoin(names: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], threshold: Double, dfCap: Int = 10000): DataFrame = {
     require(threshold > 0.5, s"threshold $threshold too low for the length-band bound")
-    val base = names.select(
-      (blockCols.map(col) :+ col(idCol).as("id") :+ col(nameCol).as("nm")): _*)
+    // fanOut: the tokenize + blocking-key explode is the expensive narrow
+    // stage and runs at scan parallelism otherwise (Par.fanOut doc)
+    val base = Par.fanOut(names.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+ col(nameCol).as("nm")): _*))
       .withColumn("len", length(col("nm")))
     val toks = base.withColumn("tok", explode(blockingKeys(col("nm"))))
     val dfCounts = toks.groupBy((blockCols.map(col) :+ col("tok")): _*)
       .agg(count(lit(1)).as("df"))
     val keyCols = blockCols :+ "tok"
+    // df cap is a KEY-level filter: applying it to ONE side of the
+    // self-join yields the identical pair set (a capped key contributes no
+    // join rows once either side drops it) at half the df-join cost
     val filtered = toks.join(dfCounts.filter(col("df") <= dfCap), keyCols)
       .select((keyCols.map(col) :+ col("id") :+ col("nm") :+ col("len")): _*)
     val left = filtered
       .withColumnRenamed("id", "a").withColumnRenamed("nm", "na")
       .withColumnRenamed("len", "la")
-    val right = filtered
+    val right = toks
       .withColumnRenamed("id", "b").withColumnRenamed("nm", "nb")
       .withColumnRenamed("len", "lb")
     val lengthBand = greatest(col("la"), col("lb")) <=

@@ -35,21 +35,40 @@ object Canonicalize {
    * the checksum runs and the loop ends only on a VERIFIED fixpoint — an
    * expected-diameter hint can save convergence jobs but can never
    * under-converge (distance-(d+1) chains on real data — e.g. shared
-   * surfaces bridging two qids — still propagate to completion). */
+   * surfaces bridging two qids — still propagate to completion).
+   * NOTE (round 6): label init performs the first propagation round
+   * (seeded min-of-neighbors), so a diameter-d graph reaches its fixpoint
+   * after d-1 LOOP rounds — hint minIterations = d - 1, not d. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
       checkpointEvery: Int = 3, minIterations: Int = 1): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // materialize the (possibly corpus-derived) edge set ONCE before
-    // symmetrizing — the union references it twice, and recomputing a
-    // corpus-scan subtree twice doubles the dominant cost
-    val edgesD = edges.select($"src", $"dst").distinct().persist()
-    val sym = edgesD
-      .unionByName(edgesD.select($"dst".as("src"), $"src".as("dst")))
+    // Symmetrize in ONE pass over the (possibly expensive) edge subtree:
+    // each edge row explodes into both directions, then one distinct — the
+    // round-5 shape (edges.distinct → persist → union(swap) → distinct)
+    // paid two exchanges and an extra persisted frame just to avoid
+    // recomputing the subtree for the union's second reference.
+    // The repartition by src BEFORE the dedup means (a) the distinct needs
+    // no further exchange (src ⊆ group keys), and (b) the CACHED frame is
+    // already hash-partitioned by the join key, so the per-iteration join
+    // never exchanges the edge side again — the loop body is down to ONE
+    // exchange per iteration (the min-propagation groupBy), from three.
+    val sym = edges
+      .select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .repartition($"src")
       .distinct()
       .persist()
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("component", $"id")
+    // Seeded labels: component₀ = min(id, min neighbor id), computed in
+    // sym's partitioning (no exchange) — this IS the first propagation
+    // round, done inside the init aggregate instead of a join+groupBy
+    // iteration. The fixpoint (min reachable id) is unchanged: seeding is
+    // one application of the same monotone propagation operator.
+    var labels = sym.groupBy($"src")
+      .agg(min($"dst").as("m"))
+      .select($"src".as("id"), least($"src", $"m").as("component"))
       .persist()
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var iter = 0
@@ -61,9 +80,14 @@ object Canonicalize {
     var prevChecksum: Option[String] = None
     while (iter < maxIter && !converged) {
       val itT0 = System.nanoTime()
-      // propagate: min component among neighbors (and self)
+      // propagate: min component among neighbors (and self). SHUFFLE_HASH:
+      // both sides are already hash-partitioned on the join key (sym by
+      // construction, labels by the previous groupBy), so the join plans
+      // exchange-free; the hash build (labels, node-dimension-sized per
+      // partition) skips the per-iteration sort a sort-merge join would
+      // re-run over the cached edge frame every round.
       val propagated = sym
-        .join(labels, sym("src") === labels("id"))
+        .join(labels.hint("SHUFFLE_HASH"), sym("src") === labels("id"))
         .select($"dst".as("id"), $"component")
         .unionByName(labels)
         .groupBy($"id").agg(min($"component").as("newComponent"))
@@ -88,7 +112,6 @@ object Canonicalize {
       if (debug) println(f"  [cc] iter $iter ${(System.nanoTime() - itT0) / 1e9}%.2f s")
     }
     sym.unpersist()
-    edgesD.unpersist()
     // a silent unconverged return would emit cluster FRAGMENTS whose ids
     // point at non-canonical interior nodes — fail loudly instead (raise
     // maxIter for graphs of larger diameter)
@@ -203,7 +226,7 @@ object Canonicalize {
         .select(lit("").as("src"), lit("").as("dst")).limit(0)
     }
     val cc = connectedComponents(
-      surfaceToQid.unionByName(qidToDbp).unionByName(fallback), minIterations = 3)
+      surfaceToQid.unionByName(qidToDbp).unionByName(fallback), minIterations = 2)
     // one map row per NAME: two KB entities sharing a canonicalTitle share
     // the same n: node (and hence component) — without the distinct the
     // name-keyed map would carry duplicate rows and fan out every triple
@@ -231,7 +254,7 @@ object Canonicalize {
     // chain components past the synthetic diameter (n—q1—d—q2 is distance 4)
     val cc = connectedComponents(
       identityEdges(linked, dbpedia, dbpediaLookup, broadcastDim),
-      minIterations = 3)
+      minIterations = 2)
     linked.select($"entityName").distinct()
       .withColumn("nodeId", concat(lit("n:"), lower($"entityName")))
       .join(cc, $"nodeId" === cc("id"), "left")
