@@ -9,6 +9,18 @@ object ProbeR06 {
     val spark = BenchExtra.session()
     import graft.ops._
 
+    if (args.headOption.contains("pipeline")) {
+      // phase-timed pipeline legs (set GRAFT_STAGE_TIMES=1 for the split)
+      val nFiles = args.lift(1).map(_.toLong).getOrElse(100000L)
+      val kb = args.lift(2).map(_.toLong).getOrElse(0L)
+      val reps = args.lift(3).map(_.toInt).getOrElse(2)
+      (1 to reps).foreach { i =>
+        val (dt, nd, nt) = Bench.runPipelineBench(spark, nFiles, kb)
+        println(f"  [pipe] rep$i kb=$kb files=$nd triples=$nt: $dt%.2f s")
+      }
+      spark.stop(); return
+    }
+
     def time[T](label: String, reps: Int = 3)(f: => Unit): Unit = {
       f // warm
       val ts = (1 to reps).map { _ =>

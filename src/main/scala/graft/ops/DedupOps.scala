@@ -70,8 +70,14 @@ object DedupOps {
     // fanOut BEFORE the generator: the tokenize + n-gram assembly is
     // interpreted (HOFs are CodegenFallback) and would otherwise run inside
     // the scan stage's 1-2 tasks on small inputs — measured 3.7 s single-task
-    // vs 0.57 s fanned for this exact pass (ProbeR06, round 6); no-op at scale
-    Par.fanOut(docs).select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    // vs 0.57 s fanned for this exact pass (ProbeR06, round 6); no-op at
+    // scale. Keyed by id: the distinct then plans exchange-free ({id} ⊆
+    // {id, shingle}), and so does EVERY downstream per-id aggregate over
+    // the persisted frame (shingle-count sizes, the MinHash signature
+    // groupBy) — one narrow text exchange replaces three exchanges of the
+    // 50×-wider shingle stream.
+    Par.fanOutBy(docs, col(idCol))
+      .select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= threshold).
@@ -166,9 +172,18 @@ object DedupOps {
    * sort aggregate. numHashes = bands * rowsPerBand.
    */
   def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    // hash the VARIABLE-WIDTH shingle string once (xxhash64), then derive
+    // the numHashes family members from the fixed-width 8-byte value —
+    // the round-5 form re-read the whole string through murmur3 numHashes
+    // times per row (guide §2.3, narrower types: 64× the string bytes per
+    // row collapsed to one string read + 64 long mixes). The family is
+    // equally uniform (murmur3 over a 64-bit avalanched input), so the
+    // LSH recall argument is unchanged; output equality with brute-force
+    // Jaccard is re-proven by the oracle.
     val mins = (0 until numHashes).map(i =>
-      min(hash(col("shingle"), lit(i))).as(s"mh$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      min(hash(col("hv"), lit(i))).as(s"mh$i"))
+    sh.withColumn("hv", xxhash64(col("shingle")))
+      .groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /**
@@ -242,8 +257,9 @@ object DedupOps {
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               tokenHash: Column => Column = hash(_)): DataFrame = {
     // fanOut: same single-task-scan-stage fix as shingles() — the
-    // normalize + tokenize + explode is the expensive narrow stage here
-    val tok = Par.fanOut(docs).select(col(idCol).as("id"),
+    // normalize + tokenize + explode is the expensive narrow stage here.
+    // Keyed by id so the 32-buffer vote aggregate plans exchange-free.
+    val tok = Par.fanOutBy(docs, col(idCol)).select(col(idCol).as("id"),
       explode(TextOps.tokens(TextOps.normalized(col(textCol)))).as("w"))
       .withColumn("hv", tokenHash(col("w")))
     val votes = (0 until 32).map(i =>

@@ -39,4 +39,20 @@ object Par {
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (size < BigInt(maxSplit) * cores) df.repartition(cores) else df
   }
+
+  /** [[fanOut]] variant that hash-partitions by `keys` instead of round-
+   * robin: downstream aggregations whose grouping keys CONTAIN `keys` then
+   * plan exchange-free (HashPartitioning(keys) satisfies any clustering
+   * that is a superset), so one cheap exchange of the narrow input replaces
+   * several exchanges of the much wider generated stream. Same size guard:
+   * a no-op at production input sizes. Skew bound: one partition holds at
+   * most the rows of `cores`-th of the key space — for unique row keys
+   * (doc ids) this is the same balance as round-robin. */
+  def fanOutBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(maxSplit) * cores) df.repartition(cores, keys: _*) else df
+  }
 }

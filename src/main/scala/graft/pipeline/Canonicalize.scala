@@ -53,6 +53,13 @@ object Canonicalize {
     // already hash-partitioned by the join key, so the per-iteration join
     // never exchanges the edge side again — the loop body is down to ONE
     // exchange per iteration (the min-propagation groupBy), from three.
+    // localCheckpoint (eager), not persist: a cached-but-lineage-bearing
+    // edge frame makes EVERY iteration re-plan the full (possibly huge)
+    // edge-derivation subtree — measured as iteration floors growing with
+    // the upstream plan (1.0 s/iter over the jaccard-pair subtree vs
+    // 0.5 s/iter over a scan-rooted one, round 6). The checkpoint cuts the
+    // plan to a LogicalRDD (partitioning preserved) at the same
+    // materialization cost the first action would pay anyway.
     val sym = edges
       .select(explode(array(
         struct($"src", $"dst"),
@@ -60,7 +67,7 @@ object Canonicalize {
       .select($"e.src".as("src"), $"e.dst".as("dst"))
       .repartition($"src")
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     // Seeded labels: component₀ = min(id, min neighbor id), computed in
     // sym's partitioning (no exchange) — this IS the first propagation
     // round, done inside the init aggregate instead of a join+groupBy
@@ -77,7 +84,20 @@ object Canonicalize {
     // non-increasing under min-propagation, so an unchanged
     // sum(xxhash64(id, component)) means a fixpoint — one cheap aggregate
     // per iteration instead of a join against the previous labels.
-    var prevChecksum: Option[String] = None
+    // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI.
+    // sum() over ZERO rows is NULL — an empty edge set (e.g. a dedup
+    // corpus with no near-dup pairs) must converge, not NPE.
+    def checksumOf(df: DataFrame): String = Option(
+      df.agg(sum(xxhash64(col("id"), col("component")).cast("decimal(38,0)")))
+        .head().getDecimal(0)).map(_.toString).getOrElse("<empty>")
+    // Pre-seed with the SEED labels' checksum: a diameter-1 graph (isolated
+    // duplicate pairs — the common near-dup shape) is already at its
+    // fixpoint after seeding, so round 1's unchanged checksum ends the loop
+    // after ONE iteration instead of two. Comparing non-consecutive rounds
+    // stays sound: labels are pointwise monotone, so equal multiset
+    // checksums across ANY number of rounds imply no change in all of them.
+    // The small aggregate also eagerly fills the label cache before round 1.
+    var prevChecksum: Option[String] = Some(checksumOf(labels))
     while (iter < maxIter && !converged) {
       val itT0 = System.nanoTime()
       // propagate: min component among neighbors (and self). SHUFFLE_HASH:
@@ -97,15 +117,13 @@ object Canonicalize {
       val next = if ((iter + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
         else next0.persist()
       if (iter + 1 >= minIterations) {
-        // decimal(38,0) sum: full-range long hashes overflow BIGINT under ANSI.
-        // sum() over ZERO rows is NULL — an empty edge set (e.g. a dedup
-        // corpus with no near-dup pairs) must converge, not NPE
-        val checksum = Option(
-          next.agg(sum(xxhash64($"id", $"component").cast("decimal(38,0)")))
-            .head().getDecimal(0)).map(_.toString).getOrElse("<empty>")
+        val checksum = checksumOf(next)
         converged = prevChecksum.contains(checksum)
         prevChecksum = Some(checksum)
       }
+      // a skipped round leaves `next` lazy on purpose: the first counted
+      // checksum materializes the whole chain in ONE action over the
+      // checkpointed edge frame — fewer job boundaries than one per round
       labels.unpersist()
       labels = next
       iter += 1

@@ -74,18 +74,71 @@ object Dedup {
         (a, b)
       })
       .flatMapGroups { (_: (String, String), it: Iterator[Triple]) =>
-        // pinned total order -> partition-count-invariant clustering
-        val rels = it.toVector.sortBy(t =>
-          (if (t.inferred == PipelineSchema.InferredExplicit) 0 else 1,
-            t.predicate.length, t.predicate, t.subject, t.obj))
-        val clusters = scala.collection.mutable.ArrayBuffer[Triple]()
-        rels.foreach { r =>
-          val dup = clusters.exists(c =>
-            if (fuzzy) RatcliffObershelp.ratio(c.predicate, r.predicate) >= threshold
-            else c.predicate == r.predicate)
-          if (!dup) clusters += r // first of each cluster = the min by the sort
-        }
-        clusters.toVector
+        consolidateGroup(it.toVector, threshold, fuzzy)
+      }
+  }
+
+  /** One undirected pair's consolidation (shared by [[consolidatePairs]]
+   * and [[exactThenConsolidate]] so the two entry points cannot drift):
+   * pinned total order → partition-count-invariant greedy clustering,
+   * first of each cluster = the min by the sort. */
+  private def consolidateGroup(rels0: Seq[Triple], threshold: Double,
+      fuzzy: Boolean): Seq[Triple] = {
+    val rels = rels0.sortBy(t =>
+      (if (t.inferred == PipelineSchema.InferredExplicit) 0 else 1,
+        t.predicate.length, t.predicate, t.subject, t.obj))
+    val clusters = scala.collection.mutable.ArrayBuffer[Triple]()
+    rels.foreach { r =>
+      val dup = clusters.exists(c =>
+        if (fuzzy) RatcliffObershelp.ratio(c.predicate, r.predicate) >= threshold
+        else c.predicate == r.predicate)
+      if (!dup) clusters += r
+    }
+    clusters.toVector
+  }
+
+  /**
+   * [[exact]] ∘ [[consolidatePairs]] fused into ONE exchange of the triple
+   * stream (guide §2.4) — the pipeline's dedup chain previously paid two:
+   * exact's groupBy (s,p,o) shuffle, then consolidatePairs' typed
+   * groupByKey re-shuffle of the deduped stream on the (opaque-to-Catalyst)
+   * pair key. Every (s,p,o) group is wholly contained in its undirected
+   * pair group, so one repartition by (least(s,o), greatest(s,o)) serves
+   * both: the exact-dedup hash aggregate then plans exchange-free (the
+   * pair key is part of its grouping key), and the consolidation runs as a
+   * mapPartitions over pair-sorted rows — no second exchange, no typed
+   * row round-trip through groupByKey's key closure. Output row set is
+   * identical (DedupFusionSpec pins fused == chained on duplicate-heavy
+   * inputs for both fuzzy settings).
+   */
+  def exactThenConsolidate(triples: Dataset[Triple], threshold: Double = 0.85,
+      fuzzy: Boolean = true): Dataset[Triple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val payload = struct($"subject", $"predicate", $"obj", $"inferred",
+      $"subjectType", $"objectType", $"subjectInferred", $"objectInferred",
+      $"docId", $"lang")
+    triples
+      .withColumn("pairA", least($"subject", $"obj"))
+      .withColumn("pairB", greatest($"subject", $"obj"))
+      .repartition($"pairA", $"pairB")
+      .groupBy($"pairA", $"pairB", $"subject", $"predicate", $"obj")
+      .agg(min_by(payload, struct(inferredPriority.as("p"), $"docId", $"lang")).as("best"))
+      .select($"pairA".as("_1"), $"pairB".as("_2"), $"best".as("_3"))
+      .as[(String, String, Triple)]
+      .sortWithinPartitions($"_1", $"_2")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Seq[Triple]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[Triple] = {
+            val (a, b, _) = buf.head
+            val g = Vector.newBuilder[Triple]
+            while (buf.hasNext && buf.head._1 == a && buf.head._2 == b)
+              g += buf.next()._3
+            g.result()
+          }
+        }.flatMap(consolidateGroup(_, threshold, fuzzy))
       }
   }
 

@@ -89,12 +89,42 @@ final case class KbDims(
     gazetteerBroadcast: Option[org.apache.spark.broadcast.Broadcast[Gazetteer]] = None)
 
 object KbDims {
-  def default(spark: SparkSession, language: String): KbDims = KbDims(
-    labels = KB.labelsForLang(spark, language),
-    wikidata = KB.wikidata(spark),
-    dbpedia = KB.dbpedia(spark),
-    dbpediaLookup = Some(KB.dbpediaLookup(spark)),
-    buildGazetteer = () => Gazetteer.fromKb(language))
+
+  /** Session cache of the toy KB's build-once artifacts (canonical map,
+   * link dim, gazetteer broadcast), keyed by (applicationId, language) —
+   * the SAME amortization [[SyntheticKb.kbDims]] already applies to the
+   * scaled KB (round-5 design): these frames are pure functions of the KB,
+   * so rebuilding the CC loop and the per-alias argmax inside every
+   * `Pipeline.run` was fixed serial cost per run. Keyed by applicationId so
+   * artifacts from a stopped context are never served. */
+  private val defaultCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame,
+      org.apache.spark.broadcast.Broadcast[Gazetteer])]
+
+  def default(spark: SparkSession, language: String): KbDims = {
+    val key = (spark.sparkContext.applicationId, language)
+    val labels = KB.labelsForLang(spark, language)
+    val dbpedia = KB.dbpedia(spark)
+    val lookup = KB.dbpediaLookup(spark)
+    val (canon, link, gazBc) = defaultCache.getOrElseUpdate(key, {
+      defaultCache.filterInPlace { case ((app, _), _) => app == key._1 }
+      val c = Canonicalize.canonicalMapFromKb(labels, dbpedia, Some(lookup))
+        .localCheckpoint(true)
+      val bp = Link.bestPerAlias(labels).localCheckpoint(true)
+      val g = spark.sparkContext.broadcast(Gazetteer.fromKb(language))
+      (c, bp, g)
+    })
+    KbDims(
+      labels = labels,
+      wikidata = KB.wikidata(spark),
+      dbpedia = dbpedia,
+      dbpediaLookup = Some(lookup),
+      buildGazetteer = () => Gazetteer.fromKb(language),
+      canonicalMap = Some(canon),
+      linkDim = Some(link),
+      gazetteerBroadcast = Some(gazBc))
+  }
 }
 
 final case class PipelineResult(
@@ -188,7 +218,9 @@ object Pipeline {
     val rawTriples = Relate.triples(docEntities, wikidata, cfg.broadcastDims)
     val validated =
       if (cfg.validateTriples) Relate.validate(rawTriples, docEntities) else rawTriples
-    val deduped = Dedup.consolidatePairs(Dedup.exact(validated), fuzzy = cfg.runFuzzyDedup)
+    // fused exact-dedup + pair consolidation: one exchange of the triple
+    // stream instead of two (Dedup.exactThenConsolidate; output identical)
+    val deduped = Dedup.exactThenConsolidate(validated, fuzzy = cfg.runFuzzyDedup)
     val withKgc = (if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
       cfg.kgcRounds, cfg.broadcastDims) else deduped).persist()
     // canonMap feeds TWO broadcast builds (subject + object rewrite) that AQE
@@ -254,9 +286,7 @@ object Pipeline {
       val validated =
         if (cfg.validateTriples) Relate.validate(rawTriples, docEntities)
         else rawTriples
-      val deduped = Dedup.consolidatePairs(
-        Dedup.exact(validated),
-        fuzzy = cfg.runFuzzyDedup)
+      val deduped = Dedup.exactThenConsolidate(validated, fuzzy = cfg.runFuzzyDedup)
       val withKgc = if (cfg.kgcRounds > 0) kgc(spark, deduped, wikidata, labels,
         cfg.kgcRounds, cfg.broadcastDims) else deduped
       Materialize.writeStage(withKgc.toDF(), "triples", outDir, cfg.buckets,

@@ -233,6 +233,28 @@ class DedupSpec extends AnyFunSuite {
     val twice = Dedup.all(Dedup.all(in)).collect().toSet
     assert(once == twice)
   }
+
+  // DedupFusionSpec: the fused one-exchange pipeline dedup must equal the
+  // chained exact→consolidate form row-for-row on a duplicate-heavy,
+  // tie-heavy input — the equivalence Pipeline.run's round-6 switch rests on
+  test("exactThenConsolidate equals consolidatePairs(exact(_)) (fused == chained)") {
+    val rnd = new scala.util.Random(7)
+    val subjects = Seq("A", "B", "C", "Delta Engine", "zeta")
+    val preds = Seq("uses", "part of", "related to", "related too", "member of")
+    val infs = Seq("explicit", "implicit")
+    val rows = (0 until 400).map { i =>
+      Triple(subjects(rnd.nextInt(5)), preds(rnd.nextInt(5)), subjects(rnd.nextInt(5)),
+        infs(rnd.nextInt(2)), "SOFTWARE", "CONCEPT", "explicit", "implicit",
+        s"d${rnd.nextInt(6)}", if (i % 3 == 0) "py" else "java")
+    }
+    val in = spark.createDataset(rows).repartition(7) // partition-layout independence
+    for (fuzzy <- Seq(true, false)) {
+      val chained = Dedup.consolidatePairs(Dedup.exact(in), fuzzy = fuzzy)
+        .collect().toSet
+      val fused = Dedup.exactThenConsolidate(in, fuzzy = fuzzy).collect().toSet
+      assert(fused == chained, s"fused != chained for fuzzy=$fuzzy")
+    }
+  }
 }
 
 class ConnectedComponentsSpec extends AnyFunSuite {
