@@ -31,6 +31,146 @@ object ProbeR06 {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.headOption.contains("scaledfine")) {
+      // fine-grained scaled-leg decomposition (deltas between lines matter)
+      import graft.pipeline._
+      val nFiles = args.lift(1).map(_.toLong).getOrElse(100000L)
+      val kbSize = args.lift(2).map(_.toLong).getOrElse(100000L)
+      val corpus = Corpus.materializeScaled(spark, s"/tmp/graft-corpus-kb$kbSize-$nFiles",
+        nFiles, kbSize, numRepos = 200, seed = 42L,
+        partitions = spark.sparkContext.defaultParallelism * 2)
+      val dims = SyntheticKb.kbDims(spark, kbSize)
+      val cfg = PipelineConfig()
+      def time1(label: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"  [fine] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      (1 to 2).foreach { rep =>
+        println(s"== scaledfine rep $rep ==")
+        time1("corpus scan (sum len)")(corpus.agg(sum(length(col("content")))).head())
+        val gaz = dims.gazetteerBroadcast.get
+        val ch = Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap)
+        time1("chunks count")(ch.count())
+        val raw = Detect.rawMentions(ch, gaz)
+        time1("rawMentions count")(raw.count())
+        import spark.implicits._
+        val uniq = raw.drop("chunkId").repartition($"docId").distinct()
+        time1("uniq distinct count")(uniq.count())
+        val linked = Link.link(raw, dims.labels, broadcastDim = true,
+          prebuiltDim = dims.linkDim)
+        time1("linked count")(linked.count())
+        val linkedP = linked.persist()
+        time1("docEntities count (on persisted linked)")(
+          Link.docEntities(linkedP).count())
+        val de = Link.docEntities(linkedP).persist()
+        de.count()
+        time1("relate triples noop")(Relate.triples(de, dims.wikidata, true)
+          .write.format("noop").mode("overwrite").save())
+        time1("fused dedup noop")(Dedup.exactThenConsolidate(
+          Relate.triples(de, dims.wikidata, true))
+          .write.format("noop").mode("overwrite").save())
+        val dedup = Dedup.exactThenConsolidate(
+          Relate.triples(de, dims.wikidata, true)).persist()
+        dedup.count()
+        time1("canonicalTriples noop (canonMap prebuilt)")(
+          Canonicalize.canonicalTriples(dedup, dims.canonicalMap.get, true)
+            .write.format("noop").mode("overwrite").save())
+        dedup.unpersist(); de.unpersist(); linkedP.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("relate")) {
+      import graft.pipeline._
+      import spark.implicits._
+      val nFiles = 100000L; val kbSize = 100000L
+      val corpus = Corpus.materializeScaled(spark, s"/tmp/graft-corpus-kb$kbSize-$nFiles",
+        nFiles, kbSize, numRepos = 200, seed = 42L,
+        partitions = spark.sparkContext.defaultParallelism * 2)
+      val dims = SyntheticKb.kbDims(spark, kbSize)
+      val cfg = PipelineConfig()
+      val gaz = dims.gazetteerBroadcast.get
+      val mentions = Detect.rawMentions(Detect.chunks(corpus, cfg.chunkSize, cfg.chunkOverlap), gaz)
+      val linked = Link.link(mentions, dims.labels, broadcastDim = true,
+        prebuiltDim = dims.linkDim).persist()
+      val de = Link.docEntities(linked).persist()
+      de.count()
+      def noop2(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timeN(label: String)(f: => Unit): Unit = {
+        f
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        println(f"  [rel] $label: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      }
+      val kbRel = Relate.kbRelations(dims.wikidata, "qid").withColumnRenamed("kKey", "qid")
+      def implicitJoin(hint: Boolean): org.apache.spark.sql.DataFrame = {
+        val lifted = de.as("e").join(broadcast(kbRel).as("k"), $"e.qid" === $"k.qid", "inner")
+        val tgt0 = de.select($"docId".as("tDocId"), $"entityName".as("tName"),
+          $"entityType".as("tType"), $"inferred".as("tInferred"))
+        val tgt = if (hint) tgt0.hint("SHUFFLE_HASH") else tgt0
+        lifted.join(tgt, $"e.docId" === $"tDocId" && $"target" === $"tName", "inner")
+          .select($"e.entityName", $"predicate", $"tName", $"e.docId")
+      }
+      timeN("implicit join SMJ (no hint)")(noop2(implicitJoin(false)))
+      timeN("implicit join SHUFFLE_HASH")(noop2(implicitJoin(true)))
+      timeN("explicitTriples")(noop2(Relate.explicitTriples(de)))
+      timeN("full relate noop")(noop2(Relate.triples(de, dims.wikidata, true).toDF()))
+      timeN("fused dedup on relate")(noop2(Dedup.exactThenConsolidate(
+        Relate.triples(de, dims.wikidata, true)).toDF()))
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("degree")) {
+      import org.apache.spark.sql.DataFrame
+      def noop2(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+      def timeN(label: String)(f: => Unit): Unit = {
+        f
+        val ts = (1 to 4).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        println(f"  [deg] $label: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      }
+      val liRaw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def v0(agg: String): DataFrame = {
+        val li = liRaw
+        val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
+            concat(lit("s"), col("l_suppkey")).as("nbr"))
+          .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
+            concat(lit("p"), col("l_partkey")).as("nbr")))
+        val g = if (agg == "exact") e.groupBy(col("node")).agg(countDistinct(col("nbr")).as("d"))
+          else e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("d"))
+        g.orderBy(desc("d"), col("node")).limit(50)
+      }
+      def v2(agg: String): DataFrame = {
+        val li = graft.ops.Par.fanOut(liRaw.select(col("l_partkey"), col("l_suppkey")))
+        val e = li.select(explode(array(
+            struct(lit(0).as("tag"), col("l_partkey").as("key"), col("l_suppkey").as("nkey")),
+            struct(lit(1).as("tag"), col("l_suppkey").as("key"), col("l_partkey").as("nkey")))).as("e"))
+          .select(col("e.tag").as("tag"), col("e.key").as("key"), col("e.nkey").as("nkey"))
+        val g = if (agg == "exact") e.groupBy(col("tag"), col("key")).agg(countDistinct(col("nkey")).as("d"))
+          else e.groupBy(col("tag"), col("key")).agg(approx_count_distinct(col("nkey")).as("d"))
+        g.select(concat(when(col("tag") === 0, "p").otherwise("s"), col("key")).as("node"), col("d"))
+          .orderBy(desc("d"), col("node")).limit(50)
+      }
+      def v3(agg: String): DataFrame = { // numeric keys, NO fanOut
+        val li = liRaw.select(col("l_partkey"), col("l_suppkey"))
+        val e = li.select(explode(array(
+            struct(lit(0).as("tag"), col("l_partkey").as("key"), col("l_suppkey").as("nkey")),
+            struct(lit(1).as("tag"), col("l_suppkey").as("key"), col("l_partkey").as("nkey")))).as("e"))
+          .select(col("e.tag").as("tag"), col("e.key").as("key"), col("e.nkey").as("nkey"))
+        val g = if (agg == "exact") e.groupBy(col("tag"), col("key")).agg(countDistinct(col("nkey")).as("d"))
+          else e.groupBy(col("tag"), col("key")).agg(approx_count_distinct(col("nkey")).as("d"))
+        g.select(concat(when(col("tag") === 0, "p").otherwise("s"), col("key")).as("node"), col("d"))
+          .orderBy(desc("d"), col("node")).limit(50)
+      }
+      for (agg <- Seq("exact", "approx")) {
+        timeN(s"v0 union-strings $agg")(noop2(v0(agg)))
+        timeN(s"v2 fanout-numeric $agg")(noop2(v2(agg)))
+        timeN(s"v3 plain-numeric $agg")(noop2(v3(agg)))
+      }
+      spark.stop(); return
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     time("docs scan")(noop(docs))
     time("docs explode 5-grams (no distinct)")(noop(

@@ -127,7 +127,11 @@ object SparkEntry {
     "q_join_star" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      // SHUFFLE_HASH on the 4×-smaller orders side (guide §3.1: deliberate
+      // strategy choice) — same two exchanges as the default sort-merge
+      // join but no sort of either side; per-partition hash build is
+      // orders/shuffle-partitions, safe at any scale that sizes partitions
+      li.join(o.hint("SHUFFLE_HASH"), li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -188,18 +192,25 @@ object SparkEntry {
 
     // ---- graph degree (§2.6 entity_connections) ----
     "q_distinct_degree" -> ((s, dir) => {
-      // ONE scan + explode instead of a two-scan union (guide §2.4), and
-      // fanOut of the narrow 2-column projection so the string building +
-      // partial aggregation use the whole machine (Par.fanOut doc)
-      val li = graft.ops.Par.fanOut(
-        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")))
+      // ONE scan + explode instead of a two-scan union (guide §2.4) and
+      // NUMERIC aggregation keys: the node/neighbor strings are a bijection
+      // of (side tag, int key) — and a p-node's neighbors are all s-keys,
+      // so countDistinct needs only the bare int — string assembly moves
+      // AFTER the aggregate (once per group, not per row) and the exchange
+      // carries ints instead of strings (guide §2.3). No fanOut: the
+      // partial aggregate already collapses map-side, so an extra exchange
+      // costs more than the parallelism buys (A/B'd in ProbeR06 `degree`).
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
       val e = li.select(explode(array(
-          struct(concat(lit("p"), col("l_partkey")).as("node"),
-            concat(lit("s"), col("l_suppkey")).as("nbr")),
-          struct(concat(lit("s"), col("l_suppkey")).as("node"),
-            concat(lit("p"), col("l_partkey")).as("nbr")))).as("e"))
-        .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
-      e.groupBy(col("node")).agg(countDistinct(col("nbr")).as("degree"))
+          struct(lit(0).as("tag"), col("l_partkey").as("key"),
+            col("l_suppkey").as("nkey")),
+          struct(lit(1).as("tag"), col("l_suppkey").as("key"),
+            col("l_partkey").as("nkey")))).as("e"))
+        .select(col("e.tag").as("tag"), col("e.key").as("key"), col("e.nkey").as("nkey"))
+      e.groupBy(col("tag"), col("key"))
+        .agg(countDistinct(col("nkey")).as("degree"))
+        .select(concat(when(col("tag") === 0, "p").otherwise("s"), col("key")).as("node"),
+          col("degree"))
         .orderBy(desc("degree"), col("node")).limit(50)
     }),
 
@@ -346,8 +357,7 @@ object SparkEntry {
       import s.implicits._
       val terms = Seq("spark", "join", "window", "hash")
       val gazB = s.sparkContext.broadcast(graft.pipeline.Gazetteer.build(terms))
-      graft.ops.Par.fanOut(t(s, dir, "documents").select(col("doc_id"), col("text")))
-        .as[(Long, String)]
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val g = gazB.value
           it.flatMap { case (id, text) =>
@@ -378,16 +388,23 @@ object SparkEntry {
     // ---- approximate distinct degree (the 10^12-scale fallback for
     // entity_connections; rows-only check: HLL estimates are engine-specific) ----
     "q_distinct_degree_approx" -> ((s, dir) => {
-      // same one-scan explode + fanOut shape as q_distinct_degree
-      val li = graft.ops.Par.fanOut(
-        t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")))
+      // same one-scan explode + numeric-key (no fanOut) shape as
+      // q_distinct_degree — A/B'd fastest in ProbeR06 `degree` (0.55 s vs
+      // 0.62 union-strings vs 1.1 fanned: HLL partials collapse map-side,
+      // so added exchanges only hurt). NOTE the HLL input stays the STRING
+      // nbr: approx_count_distinct hashes its input, so feeding the bare
+      // int would change the (engine-specific, rows-only-checked) estimates.
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
       val e = li.select(explode(array(
-          struct(concat(lit("p"), col("l_partkey")).as("node"),
+          struct(lit(0).as("tag"), col("l_partkey").as("key"),
             concat(lit("s"), col("l_suppkey")).as("nbr")),
-          struct(concat(lit("s"), col("l_suppkey")).as("node"),
+          struct(lit(1).as("tag"), col("l_suppkey").as("key"),
             concat(lit("p"), col("l_partkey")).as("nbr")))).as("e"))
-        .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
-      e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("degree_approx"))
+        .select(col("e.tag").as("tag"), col("e.key").as("key"), col("e.nbr").as("nbr"))
+      e.groupBy(col("tag"), col("key"))
+        .agg(approx_count_distinct(col("nbr")).as("degree_approx"))
+        .select(concat(when(col("tag") === 0, "p").otherwise("s"), col("key")).as("node"),
+          col("degree_approx"))
         .orderedBy(col("node"))
     }),
 

@@ -39,8 +39,12 @@ object DedupOps {
 
   /** Exact-duplicate clusters: fingerprint → (clusterId = min doc_id,
    * cluster size), keeping only real duplicates (size > 1). */
+  // no fanOut here: the fingerprint (regex + md5) is whole-stage-codegen
+  // and cheap enough that a fan-out exchange of the text COSTS more than it
+  // saves (measured 0.59 → 0.81 s, round-6 midpoint bench) — fanOut pays
+  // only for interpreted-HOF generators like the shingle pass
   def exactClusters(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    Par.fanOut(docs).select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+    docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("cluster_id"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)

@@ -101,11 +101,16 @@ object Relate {
     val kbRelDim = if (broadcastDim) broadcast(kbRel) else kbRel
     val lifted = docEntities.as("e")
       .join(kbRelDim.as("k"), $"e.qid" === $"k.qid", "inner")
-    // require the target entity to be present in the same document
+    // require the target entity to be present in the same document.
+    // SHUFFLE_HASH: both sides are docId-partitioned already (docEntities'
+    // aggregate preserved the pipeline's one docId exchange), so the join
+    // plans exchange-free either way — the hint replaces the sort-merge
+    // join's two full sorts of corpus-sized streams with a per-partition
+    // hash build of the narrow 4-column target projection (guide §3.1).
     val tgt = docEntities.select($"docId".as("tDocId"), $"entityName".as("tName"),
       $"entityType".as("tType"), $"inferred".as("tInferred"))
     lifted
-      .join(tgt, $"e.docId" === $"tDocId" && $"target" === $"tName", "inner")
+      .join(tgt.hint("SHUFFLE_HASH"), $"e.docId" === $"tDocId" && $"target" === $"tName", "inner")
       .select(
         $"e.entityName".as("subject"),
         $"predicate",
