@@ -388,23 +388,19 @@ object SparkEntry {
     // ---- approximate distinct degree (the 10^12-scale fallback for
     // entity_connections; rows-only check: HLL estimates are engine-specific) ----
     "q_distinct_degree_approx" -> ((s, dir) => {
-      // same one-scan explode + numeric-key (no fanOut) shape as
-      // q_distinct_degree — A/B'd fastest in ProbeR06 `degree` (0.55 s vs
-      // 0.62 union-strings vs 1.1 fanned: HLL partials collapse map-side,
-      // so added exchanges only hurt). NOTE the HLL input stays the STRING
-      // nbr: approx_count_distinct hashes its input, so feeding the bare
-      // int would change the (engine-specific, rows-only-checked) estimates.
-      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
-      val e = li.select(explode(array(
-          struct(lit(0).as("tag"), col("l_partkey").as("key"),
-            concat(lit("s"), col("l_suppkey")).as("nbr")),
-          struct(lit(1).as("tag"), col("l_suppkey").as("key"),
-            concat(lit("p"), col("l_partkey")).as("nbr")))).as("e"))
-        .select(col("e.tag").as("tag"), col("e.key").as("key"), col("e.nbr").as("nbr"))
-      e.groupBy(col("tag"), col("key"))
-        .agg(approx_count_distinct(col("nbr")).as("degree_approx"))
-        .select(concat(when(col("tag") === 0, "p").otherwise("s"), col("key")).as("node"),
-          col("degree_approx"))
+      // kept in its round-5 two-scan union form DELIBERATELY: unlike the
+      // exact variant, the HLL input must stay the STRING nbr
+      // (approx_count_distinct hashes its input — an int would change the
+      // engine-specific, rows-only-checked estimates), so the one-scan
+      // explode would build every neighbor string in HALF the scan tasks;
+      // measured 0.68 s union vs 1.13-1.17 s for both explode variants in
+      // full-bench context (round-6 mid/final benches)
+      val li = t(s, dir, "lineitem")
+      val e = li.select(concat(lit("p"), col("l_partkey")).as("node"),
+          concat(lit("s"), col("l_suppkey")).as("nbr"))
+        .unionByName(li.select(concat(lit("s"), col("l_suppkey")).as("node"),
+          concat(lit("p"), col("l_partkey")).as("nbr")))
+      e.groupBy(col("node")).agg(approx_count_distinct(col("nbr")).as("degree_approx"))
         .orderedBy(col("node"))
     }),
 
