@@ -80,6 +80,30 @@ object ProbeR06 {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("cosine")) {
+      import graft.functions.VectorFunctions._
+      def noop2(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timeN(label: String)(f: => Unit): Unit = {
+        f
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        println(f"  [cos] $label: ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      }
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(
+        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      timeN("normalize projection")(noop2(planted.select(col("vec_id").as("id"),
+        SimOps.normalize(col("embedding").cast("array<double>")).as("v"))))
+      timeN("band sigs explode")(noop2(planted.select(col("vec_id").as("id"),
+        posexplode(lsh_band_sigs(SimOps.normalize(col("embedding").cast("array<double>")), 32, 8)))))
+      timeN("cosineDupPairs full")(noop2(SimOps.cosineDupPairs(planted, 0.95)))
+      graft.ops.SimOps.unpersistIntermediates()
+      timeN("cosineDupClusters full")(noop2(SimOps.cosineDupClusters(planted, 0.95)))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("relate")) {
       import graft.pipeline._
       import spark.implicits._
